@@ -1,0 +1,240 @@
+"""User-facing TAPIR inference wrappers.
+
+`TapirPredictor` is the convenience API replacing the reference's
+`ParameterizedTAPIR` (tapir_model.py:1206-1269): it binds params to the model
+and exposes jitted tracking calls. Designed for TPU serving:
+
+  * Shape bucketing: query count (and optionally frame count) are padded up
+    to fixed buckets so repeated calls with ragged sizes reuse one compiled
+    executable instead of recompiling per video.
+  * Online streaming (`OnlineTapirPredictor`) keeps typed causal state and
+    per-frame jitted init/predict functions, mirroring the reference live
+    demo loop (live_demo.py:51-77) with state resident on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tapnet_tpu.models import tapir as tapir_lib
+from tapnet_tpu.utils import sampling
+
+Array = jnp.ndarray
+
+
+def _round_up(x: int, multiple: int) -> int:
+  return -(-x // multiple) * multiple
+
+
+class TapirPredictor:
+  """Binds TAPIR params and exposes jitted, shape-bucketed tracking."""
+
+  def __init__(
+      self,
+      params: Mapping[str, Any],
+      config: Optional[tapir_lib.TapirConfig] = None,
+      query_bucket: int = 64,
+      frame_bucket: Optional[int] = None,
+      query_chunk_size: Optional[int] = 64,
+  ):
+    """Args:
+      params: Flax params (e.g. from checkpoints.load_tapir_checkpoint).
+      config: model configuration.
+      query_bucket: queries are padded up to a multiple of this.
+      frame_bucket: if set, frames are padded (by repeating the last frame)
+        up to a multiple of this, bounding the number of compiled variants.
+      query_chunk_size: memory-bounding chunk inside the model.
+    """
+    self.model = tapir_lib.TAPIR(config=config or tapir_lib.TapirConfig())
+    self.params = params
+    self.query_bucket = query_bucket
+    self.frame_bucket = frame_bucket
+    self.query_chunk_size = query_chunk_size
+
+  @functools.cached_property
+  def _jitted_forward(self):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def fwd(video, query_points, chunk):
+      return self.model.apply(
+          {"params": self.params},
+          video,
+          query_points,
+          query_chunk_size=chunk,
+      )
+
+    return fwd
+
+  def __call__(
+      self, video: Array, query_points: Array
+  ) -> Mapping[str, np.ndarray]:
+    """Track `query_points` (t, y, x raster) through `video` ([-1,1] floats).
+
+    Returns numpy arrays: tracks [B, N, T, 2], occlusion / expected_dist
+    logits [B, N, T].
+    """
+    video = jnp.asarray(video)
+    query_points = jnp.asarray(query_points, jnp.float32)
+    b, n = query_points.shape[:2]
+    t = video.shape[1]
+
+    n_pad = _round_up(max(n, 1), self.query_bucket)
+    if n_pad != n:
+      pad = jnp.zeros((b, n_pad - n, 3), query_points.dtype)
+      query_points_in = jnp.concatenate([query_points, pad], axis=1)
+    else:
+      query_points_in = query_points
+
+    t_pad = t
+    if self.frame_bucket is not None:
+      t_pad = _round_up(t, self.frame_bucket)
+    if t_pad != t:
+      tail = jnp.repeat(video[:, -1:], t_pad - t, axis=1)
+      video_in = jnp.concatenate([video, tail], axis=1)
+    else:
+      video_in = video
+
+    chunk = self.query_chunk_size or n_pad
+    out = self._jitted_forward(video_in, query_points_in, min(chunk, n_pad))
+    return {
+        "tracks": np.asarray(out["tracks"][:, :n, :t]),
+        "occlusion": np.asarray(out["occlusion"][:, :n, :t]),
+        "expected_dist": np.asarray(out["expected_dist"][:, :n, :t]),
+    }
+
+  def visibles(self, out: Mapping[str, np.ndarray]) -> np.ndarray:
+    """Boolean visibility from occlusion + uncertainty logits."""
+    return np.asarray(
+        sampling.postprocess_occlusions(
+            jnp.asarray(out["occlusion"]), jnp.asarray(out["expected_dist"])
+        )
+    )
+
+
+class OnlineTapirPredictor:
+  """Streaming TAPIR: per-frame prediction with typed causal state.
+
+  Usage:
+    p = OnlineTapirPredictor(params, config_with_use_causal_conv)
+    p.init(first_frame, query_points)       # query features + zero state
+    for frame in frames:
+      tracks, visibles = p.predict(frame)   # one jitted step per frame
+  """
+
+  def __init__(
+      self,
+      params: Mapping[str, Any],
+      config: Optional[tapir_lib.TapirConfig] = None,
+  ):
+    config = config or tapir_lib.TapirConfig(
+        use_causal_conv=True, num_pips_iter=4, pyramid_level=1
+    )
+    if not config.use_causal_conv:
+      raise ValueError("Online TAPIR requires use_causal_conv=True.")
+    self.model = tapir_lib.TAPIR(config=config)
+    self.params = params
+    self._query_features = None
+    self._state = None
+    self._resolution = None
+
+  @functools.cached_property
+  def _jitted_init(self):
+    @jax.jit
+    def init_fn(frame, query_points):
+      """frame: [B, 1, H, W, 3]; query_points: [B, N, 3] (t, y, x)."""
+      grids = self.model.apply(
+          {"params": self.params},
+          frame,
+          method=tapir_lib.TAPIR.get_feature_grids,
+      )
+      qf = self.model.apply(
+          {"params": self.params},
+          frame.shape,
+          query_points,
+          grids,
+          method=tapir_lib.TAPIR.get_query_features,
+      )
+      return qf
+
+    return init_fn
+
+  @functools.cached_property
+  def _jitted_predict(self):
+    @jax.jit
+    def predict_fn(frame, query_features, state):
+      grids = self.model.apply(
+          {"params": self.params},
+          frame,
+          method=tapir_lib.TAPIR.get_feature_grids,
+      )
+      out = self.model.apply(
+          {"params": self.params},
+          frame.shape[-3:-1],
+          grids,
+          query_features,
+          None,
+          None,
+          state,
+          True,
+          method=tapir_lib.TAPIR.estimate_trajectories,
+      )
+      p = self.model.config.num_pips_iter
+      tracks = jnp.mean(jnp.stack(out["tracks"][p::p]), axis=0)
+      occ = jnp.mean(jnp.stack(out["occlusion"][p::p]), axis=0)
+      expd = jnp.mean(jnp.stack(out["expected_dist"][p::p]), axis=0)
+      visibles = sampling.postprocess_occlusions(occ, expd)
+      return tracks, visibles, out["causal_context"]
+
+    return predict_fn
+
+  def init(self, frame: Array, query_points: Array) -> None:
+    """Extract query features from `frame` ([B, H, W, 3] or [B, 1, H, W, 3])."""
+    frame = jnp.asarray(frame)
+    if frame.ndim == 4:
+      frame = frame[:, None]
+    query_points = jnp.asarray(query_points, jnp.float32)
+    self._query_features = self._jitted_init(frame, query_points)
+    b, n = query_points.shape[:2]
+    self._state = self.model.apply(
+        {"params": self.params},
+        b,
+        n,
+        1,
+        method=tapir_lib.TAPIR.construct_initial_causal_state,
+    )
+    self._resolution = frame.shape[-3:-1]
+
+  def predict(self, frame: Array) -> Tuple[np.ndarray, np.ndarray]:
+    """One streaming step. frame: [B, H, W, 3] in [-1, 1]."""
+    if self._query_features is None:
+      raise ValueError("Call init() before predict().")
+    frame = jnp.asarray(frame)
+    if frame.ndim == 4:
+      frame = frame[:, None]
+    tracks, visibles, self._state = self._jitted_predict(
+        frame, self._query_features, self._state
+    )
+    return np.asarray(tracks[..., 0, :]), np.asarray(visibles[..., 0])
+
+  def add_points(self, frame: Array, query_points: Array,
+                 idx: Sequence[int]) -> None:
+    """Replace tracked slots `idx` with new query points from `frame`."""
+    frame = jnp.asarray(frame)
+    if frame.ndim == 4:
+      frame = frame[:, None]
+    new_qf = self._jitted_init(frame, jnp.asarray(query_points, jnp.float32))
+    b = query_points.shape[0]
+    fresh = self.model.apply(
+        {"params": self.params},
+        b,
+        len(idx),
+        1,
+        method=tapir_lib.TAPIR.construct_initial_causal_state,
+    )
+    self._query_features, self._state = tapir_lib.update_query_features(
+        self._query_features, new_qf, idx, self._state, fresh
+    )

@@ -61,6 +61,37 @@ class TapirConfig:
   parallelize_query_extraction: bool = False
 
 
+def tapir_config(**overrides) -> "TapirConfig":
+  """Standard (offline) TAPIR: reference configs/tapir_config.py:78-80."""
+  kwargs = dict(pyramid_level=0, use_causal_conv=False)
+  kwargs.update(overrides)
+  return TapirConfig(**kwargs)
+
+
+def causal_tapir_config(**overrides) -> "TapirConfig":
+  """Online/causal TAPIR: reference configs/causal_tapir_config.py:78-79."""
+  kwargs = dict(pyramid_level=1, use_causal_conv=True)
+  kwargs.update(overrides)
+  return TapirConfig(**kwargs)
+
+
+def bootstapir_config(**overrides) -> "TapirConfig":
+  """BootsTAPIR: reference configs/tapir_bootstrap_config.py:76-83."""
+  kwargs = dict(
+      pyramid_level=1,
+      use_causal_conv=False,
+      extra_convs=True,
+      softmax_temperature=10.0,
+  )
+  kwargs.update(overrides)
+  return TapirConfig(**kwargs)
+
+
+def causal_bootstapir_config(**overrides) -> "TapirConfig":
+  """Online BootsTAPIR (causal convs + extra convs)."""
+  return bootstapir_config(use_causal_conv=True, **overrides)
+
+
 class FeatureGrids(NamedTuple):
   """Backbone features per refinement resolution.
 
@@ -539,7 +570,9 @@ class TAPIR(nn.Module):
       )
     else:
       perm = jnp.arange(num_queries, dtype=jnp.int32)
-    inv_perm = jnp.zeros_like(perm).at[perm].set(jnp.arange(num_queries))
+    # argsort instead of a scatter: scatters hit an XLA TPU emitter bug and
+    # sorts lower cleanly.
+    inv_perm = jnp.argsort(perm)
 
     # Precompute the per-level pyramids once (chunk-independent).
     pyramids = []

@@ -1,0 +1,168 @@
+"""TAP-Vid evaluation harness + CLI.
+
+Runs a tracker over a TAP-Vid dataset and reports AJ / <delta^x_avg / OA
+(reference protocol: tapnet/training/supervised_point_prediction.py:553-658;
+predictions at 256x256, metrics at 256x256).
+
+CLI:
+  python -m tapnet_tpu.tapvid.evaluate --checkpoint tapir.npy \
+      --dataset davis --data_path /path/tapvid_davis.pkl --query_mode first
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from typing import Callable, Iterable, Mapping, Optional
+
+import numpy as np
+
+from tapnet_tpu.tapvid import datasets as tapvid_datasets
+from tapnet_tpu.tapvid import metrics as tapvid_metrics
+
+
+def evaluate_dataset(
+    predict_fn: Callable[[np.ndarray, np.ndarray], Mapping[str, np.ndarray]],
+    dataset: Iterable,
+    query_mode: str,
+    max_videos: Optional[int] = None,
+    verbose: bool = True,
+) -> Mapping[str, float]:
+  """Evaluates `predict_fn` over a reader generator.
+
+  Args:
+    predict_fn: (video [1,T,H,W,3] in [-1,1], query_points [1,Q,3]) ->
+      {"tracks" [1,Q,T,2], "occlusion", "expected_dist" logits}.
+    dataset: generator of {name: example} dicts from tapvid datasets.
+    query_mode: "first" or "strided".
+    max_videos: optional cap for smoke runs.
+
+  Returns:
+    mean metrics over videos (floats in [0, 1]).
+  """
+  sums: dict = {}
+  count = 0
+  for i, element in enumerate(dataset):
+    if max_videos is not None and i >= max_videos:
+      break
+    (example,) = element.values()
+    video = example["video"]
+    query_points = example["query_points"]
+
+    t0 = time.time()
+    out = predict_fn(video, query_points)
+    dt = time.time() - t0
+
+    occ_logits = out["occlusion"]
+    expd_logits = out.get("expected_dist")
+    pred_occluded = _occluded_from_logits(occ_logits, expd_logits)
+
+    # Metrics are computed at 256x256 scale per benchmark convention.
+    h, w = video.shape[2:4]
+    scale = np.array([256.0 / w, 256.0 / h])
+    video_metrics = tapvid_metrics.compute_tapvid_metrics(
+        example["query_points"],
+        example["occluded"],
+        example["target_points"] * scale,
+        pred_occluded,
+        out["tracks"] * scale,
+        query_mode=query_mode,
+    )
+    count += 1
+    for k, v in video_metrics.items():
+      sums[k] = sums.get(k, 0.0) + float(np.mean(v))
+    if verbose:
+      running_aj = sums["average_jaccard"] / count
+      print(
+          f"[{count}] frames={video.shape[1]} queries="
+          f"{query_points.shape[1]} aj={float(np.mean(video_metrics['average_jaccard'])):.4f}"
+          f" running_aj={running_aj:.4f} ({dt:.2f}s)"
+      )
+
+  if count == 0:
+    raise ValueError("Dataset produced no videos.")
+  return {k: v / count for k, v in sums.items()}
+
+
+def _occluded_from_logits(occ_logits, expd_logits):
+  """Combine occlusion + uncertainty logits (reference:
+  supervised_point_prediction.py:620-624)."""
+
+  def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+  pred_visible = sigmoid(occ_logits) <= 0.5
+  if expd_logits is not None:
+    pred_visible = pred_visible & (
+        (1.0 - sigmoid(occ_logits)) * (1.0 - sigmoid(expd_logits)) > 0.5
+    )
+  return ~pred_visible
+
+
+DATASET_BUILDERS = {
+    "davis": lambda path, mode: tapvid_datasets.create_davis_dataset(
+        path, query_mode=mode
+    ),
+    "robotics": lambda path, mode: tapvid_datasets.create_rgb_stacking_dataset(
+        path, query_mode=mode
+    ),
+    "kinetics": lambda path, mode: tapvid_datasets.create_kinetics_dataset(
+        path, query_mode=mode
+    ),
+}
+
+
+def main():
+  parser = argparse.ArgumentParser(description="TAP-Vid evaluation")
+  parser.add_argument("--checkpoint", required=True)
+  parser.add_argument(
+      "--dataset", choices=sorted(DATASET_BUILDERS) + ["robotap",
+                                                       "perception_test"],
+      required=True,
+  )
+  parser.add_argument("--data_path", required=True)
+  parser.add_argument("--video_base_path", default=None,
+                      help="for CSV datasets")
+  parser.add_argument("--query_mode", choices=["first", "strided"],
+                      default="first")
+  parser.add_argument("--max_videos", type=int, default=None)
+  parser.add_argument(
+      "--model",
+      choices=["tapir", "causal_tapir", "bootstapir", "causal_bootstapir"],
+      default="tapir",
+  )
+  parser.add_argument("--query_chunk_size", type=int, default=64)
+  parser.add_argument("--output_json", default=None)
+  args = parser.parse_args()
+
+  from tapnet_tpu import inference
+  from tapnet_tpu.checkpoints import tapir_checkpoint
+  from tapnet_tpu.models import tapir as tapir_lib
+
+  config = getattr(tapir_lib, f"{args.model}_config")()
+  params = tapir_checkpoint.load_tapir_checkpoint(args.checkpoint)
+  predictor = inference.TapirPredictor(
+      params, config, query_chunk_size=args.query_chunk_size
+  )
+
+  if args.dataset in DATASET_BUILDERS:
+    ds = DATASET_BUILDERS[args.dataset](args.data_path, args.query_mode)
+  else:
+    ds = tapvid_datasets.create_csv_dataset(
+        args.dataset, args.data_path, args.video_base_path, args.query_mode
+    )
+
+  results = evaluate_dataset(
+      predictor, ds, args.query_mode, max_videos=args.max_videos
+  )
+  print(tapvid_metrics.latex_table(results))
+  print(json.dumps(results, indent=2))
+  if args.output_json:
+    with open(args.output_json, "w") as f:
+      json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+  main()

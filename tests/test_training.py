@@ -1,0 +1,173 @@
+"""Training stack tests: sharded train step on an 8-device CPU mesh,
+optimizer behavior, synthetic data, checkpointing round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tapnet_tpu.data import synthetic
+from tapnet_tpu.models import tapir as tapir_lib
+from tapnet_tpu.parallel import mesh as mesh_lib
+from tapnet_tpu.training import checkpointing, optimizers, trainer
+
+TINY = tapir_lib.TapirConfig(
+    num_mixer_blocks=2,
+    num_pips_iter=2,
+    pyramid_level=0,
+    initial_resolution=(32, 32),
+    blocks_per_group=(1, 1, 1, 1),
+)
+
+
+def tiny_batch(batch_size=4, num_queries=8):
+  it = synthetic.batch_iterator(
+      seed=0,
+      batch_size=batch_size,
+      num_frames=3,
+      height=32,
+      width=32,
+      num_queries=num_queries,
+  )
+  return next(it)
+
+
+class TestSyntheticData:
+
+  def test_batch_shapes_and_ranges(self):
+    b = tiny_batch()
+    assert b["video"].shape == (4, 3, 32, 32, 3)
+    assert b["query_points"].shape == (4, 8, 3)
+    assert b["target_points"].shape == (4, 8, 3, 2)
+    assert b["occluded"].shape == (4, 8, 3)
+    assert float(b["video"].min()) >= -1.0
+    assert float(b["video"].max()) <= 1.0
+    # queries lie at their target points on the query frame
+    qf = np.asarray(b["query_points"][..., 0]).astype(int)
+    for bi in range(4):
+      for qi in range(8):
+        np.testing.assert_allclose(
+            np.asarray(b["query_points"][bi, qi, 1:]),  # (y, x)
+            np.asarray(b["target_points"][bi, qi, qf[bi, qi]])[::-1],
+            rtol=1e-5,
+        )
+
+
+class TestOptimizer:
+
+  def test_weight_decay_mask(self):
+    params = {
+        "dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+        "norm": {"scale": jnp.ones((2,)), "offset": jnp.ones((2,))},
+    }
+    mask = optimizers.weight_decay_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["norm"]["offset"] is False
+
+  def test_schedule_warmup_and_decay(self):
+    cfg = optimizers.OptimizerConfig(base_lr=1e-3, warmup_steps=10)
+    sched = optimizers.make_lr_schedule(cfg, total_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(99)) < 1e-4
+
+  def test_nonfinite_grads_skipped(self):
+    cfg = optimizers.OptimizerConfig(weight_decay=0.0, warmup_steps=1)
+    tx = optimizers.make_optimizer(
+        cfg, optimizers.make_lr_schedule(cfg, 10)
+    )
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    bad_grads = {"w": jnp.array([jnp.nan, 1.0])}
+    updates, state = tx.update(bad_grads, state, params)
+    np.testing.assert_allclose(updates["w"], 0.0)
+
+
+class TestTrainStep:
+
+  @pytest.fixture(scope="class")
+  def setup(self):
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    model = tapir_lib.TAPIR(config=TINY)
+    t = trainer.Trainer(
+        model,
+        optimizers.OptimizerConfig(
+            base_lr=1e-3, warmup_steps=2, weight_decay=1e-2
+        ),
+        total_steps=10,
+        task=trainer.TaskConfig(train_chunk_size=4),
+        mesh=mesh,
+    )
+    batch = tiny_batch()
+    return t, batch
+
+  def test_sharded_step_runs_and_updates(self, setup):
+    t, batch = setup
+    # The step donates its input state; snapshot params to host first.
+    state = t.init_state(batch)
+    old_params = jax.device_get(state.params)
+    sharded = mesh_lib.shard_batch(batch, t.mesh)
+    new_state, scalars = t.step_fn(state, sharded, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    # Step 0 has lr=0 (cosine warmup from 0); take a second step so the
+    # update is non-trivial.
+    new_state, scalars = t.step_fn(
+        new_state, mesh_lib.shard_batch(batch, t.mesh), jax.random.PRNGKey(1)
+    )
+    assert int(new_state.step) == 2
+    assert np.isfinite(float(scalars["loss"]))
+    assert np.isfinite(float(scalars["gradient_norm"]))
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a) - b, new_state.params, old_params
+        ),
+        0.0,
+    )
+    assert delta > 0.0
+
+  def test_loss_decreases_over_steps(self, setup):
+    t, batch = setup
+    state = t.init_state(batch)
+    data = synthetic.batch_iterator(
+        seed=1,
+        batch_size=4,
+        num_frames=3,
+        height=32,
+        width=32,
+        num_queries=8,
+    )
+    first_loss = None
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(6):
+      batch = mesh_lib.shard_batch(next(data), t.mesh)
+      rng, k = jax.random.split(rng)
+      state, scalars = t.step_fn(state, batch, k)
+      losses.append(float(scalars["loss"]))
+    assert np.isfinite(losses).all()
+    # not asserting monotonic decrease on 6 steps; just sane magnitudes
+    assert losses[-1] < losses[0] * 10
+
+
+class TestCheckpointing:
+
+  def test_round_trip(self, tmp_path):
+    path = str(tmp_path / "ckpt.npy")
+    state = dict(
+        params={"w": jnp.arange(4.0)},
+        opt_state={"m": jnp.ones((2,))},
+        step=5,
+    )
+    checkpointing.save_checkpoint(path, state)
+    restored = checkpointing.restore_checkpoint(path)
+    np.testing.assert_allclose(restored["params"]["w"], [0, 1, 2, 3])
+    assert restored["step"] == 5
+
+  def test_missing_returns_none(self, tmp_path):
+    assert checkpointing.restore_checkpoint(str(tmp_path / "nope.npy")) is None
