@@ -115,6 +115,129 @@ class TapirPredictor:
     )
 
 
+class TapnextPredictor:
+  """TAPNext inference wrapper with the TAP-Vid calling convention.
+
+  Bridges conventions: TAP-Vid queries are (t, y, x) with tracks (x, y) —
+  TAPNext natively consumes (t, y, x) and emits (y, x), so only the output
+  axis order flips. Occlusion logits are negated visibility logits.
+
+  NOTE: unlike TAPIR (whose query chunks are independent), TAPNext query
+  tokens attend to each other and to image tokens, so padding the query axis
+  CHANGES predictions. Bucketing is therefore off by default; enable it only
+  for models trained with query-to-image masking where the approximation is
+  acceptable.
+  """
+
+  def __init__(
+      self,
+      params: Mapping[str, Any],
+      config=None,
+      query_bucket: Optional[int] = None,
+  ):
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    self.model = tapnext.TAPNextTracker(
+        config=config or ssm_vit.SsmVitConfig()
+    )
+    self.params = params
+    self.query_bucket = query_bucket
+
+  @functools.cached_property
+  def _jitted_forward(self):
+    @jax.jit
+    def fwd(video, query_points):
+      out = self.model.apply({"params": self.params}, video, query_points)
+      return out.tracks, out.visible_logits
+
+    return fwd
+
+  def __call__(
+      self, video: Array, query_points: Array
+  ) -> Mapping[str, np.ndarray]:
+    video = jnp.asarray(video)
+    query_points = jnp.asarray(query_points, jnp.float32)
+    b, n = query_points.shape[:2]
+    if self.query_bucket is not None:
+      n_pad = _round_up(max(n, 1), self.query_bucket)
+      if n_pad != n:
+        pad = jnp.zeros((b, n_pad - n, 3), query_points.dtype)
+        query_points = jnp.concatenate([query_points, pad], axis=1)
+    tracks_yx, visible_logits = self._jitted_forward(video, query_points)
+    tracks_xy = np.asarray(tracks_yx)[:, :n, :, ::-1]
+    occ_logits = -np.asarray(visible_logits)[:, :n, :, 0]
+    return {
+        "tracks": tracks_xy,
+        "occlusion": occ_logits,
+        "expected_dist": None,
+    }
+
+
+class OnlineTapnextPredictor:
+  """Streaming TAPNext: warm-up on the first frame(s) with queries, then
+  one jitted step per frame with the typed TAPNextTrackingState."""
+
+  def __init__(self, params: Mapping[str, Any], config=None):
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    self.model = tapnext.TAPNextTracker(
+        config=config or ssm_vit.SsmVitConfig()
+    )
+    self.params = params
+    self._state = None
+
+  @functools.cached_property
+  def _jitted_init(self):
+    from tapnet_tpu.models import tapnext
+
+    @jax.jit
+    def f(frames, query_points):
+      res = self.model.apply(
+          {"params": self.params},
+          frames,
+          query_points,
+          method=tapnext.TAPNextTracker.forward_step,
+      )
+      return res.tracks, res.visible_logits, res.state
+
+    return f
+
+  @functools.cached_property
+  def _jitted_step(self):
+    from tapnet_tpu.models import tapnext
+
+    @jax.jit
+    def f(frame, state):
+      res = self.model.apply(
+          {"params": self.params},
+          frame,
+          None,
+          None,
+          state,
+          method=tapnext.TAPNextTracker.forward_step,
+      )
+      return res.tracks, res.visible_logits, res.state
+
+    return f
+
+  def init(self, frames: Array, query_points: Array):
+    """frames [B, T0, H, W, 3]; query_points [B, Q, 3] (t, y, x)."""
+    tracks, vis, self._state = self._jitted_init(
+        jnp.asarray(frames), jnp.asarray(query_points, jnp.float32)
+    )
+    return np.asarray(tracks), np.asarray(vis)
+
+  def predict(self, frame: Array):
+    """One frame [B, H, W, 3] (or [B, 1, H, W, 3]) -> ((y, x) tracks, vis)."""
+    if self._state is None:
+      raise ValueError("Call init() first.")
+    frame = jnp.asarray(frame)
+    if frame.ndim == 4:
+      frame = frame[:, None]
+    tracks, vis, self._state = self._jitted_step(frame, self._state)
+    return np.asarray(tracks[:, :, 0]), np.asarray(vis[:, :, 0, 0] > 0)
+
+
 class OnlineTapirPredictor:
   """Streaming TAPIR: per-frame prediction with typed causal state.
 

@@ -130,7 +130,13 @@ def main():
   parser.add_argument("--max_videos", type=int, default=None)
   parser.add_argument(
       "--model",
-      choices=["tapir", "causal_tapir", "bootstapir", "causal_bootstapir"],
+      choices=[
+          "tapir",
+          "causal_tapir",
+          "bootstapir",
+          "causal_bootstapir",
+          "tapnext",
+      ],
       default="tapir",
   )
   parser.add_argument("--query_chunk_size", type=int, default=64)
@@ -138,14 +144,21 @@ def main():
   args = parser.parse_args()
 
   from tapnet_tpu import inference
-  from tapnet_tpu.checkpoints import tapir_checkpoint
-  from tapnet_tpu.models import tapir as tapir_lib
 
-  config = getattr(tapir_lib, f"{args.model}_config")()
-  params = tapir_checkpoint.load_tapir_checkpoint(args.checkpoint)
-  predictor = inference.TapirPredictor(
-      params, config, query_chunk_size=args.query_chunk_size
-  )
+  if args.model == "tapnext":
+    from tapnet_tpu.checkpoints import tapnext_checkpoint
+
+    params = tapnext_checkpoint.load_tapnext_checkpoint(args.checkpoint)
+    predictor = inference.TapnextPredictor(params)
+  else:
+    from tapnet_tpu.checkpoints import tapir_checkpoint
+    from tapnet_tpu.models import tapir as tapir_lib
+
+    config = getattr(tapir_lib, f"{args.model}_config")()
+    params = tapir_checkpoint.load_tapir_checkpoint(args.checkpoint)
+    predictor = inference.TapirPredictor(
+        params, config, query_chunk_size=args.query_chunk_size
+    )
 
   if args.dataset in DATASET_BUILDERS:
     ds = DATASET_BUILDERS[args.dataset](args.data_path, args.query_mode)

@@ -1,0 +1,214 @@
+"""TAPNext tests: checkpoint key layout, query embedding semantics,
+offline-vs-streaming consistency, head decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapnet_tpu.checkpoints import tapnext_checkpoint
+from tapnet_tpu.models import ssm_vit, tapnext
+
+TINY = ssm_vit.SsmVitConfig(
+    width=32,
+    depth=2,
+    mlp_dim=64,
+    num_heads=2,
+    patch_size=(1, 8, 8),
+    image_size=(32, 32),
+)
+
+B, T, Q = 1, 5, 3
+
+
+@pytest.fixture(scope="module")
+def tracker_and_params():
+  model = tapnext.TAPNextTracker(config=TINY)
+  video = jnp.zeros((B, T, 32, 32, 3))
+  qp = jnp.zeros((B, Q, 3))
+  params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+  return model, params
+
+
+class TestCheckpointLayout:
+
+  def test_param_keys_match_released_format(self, tracker_and_params):
+    """The exact key paths the reference torch converter reads
+    (tapnext_torch_utils.py:60-204) must exist in our tree."""
+    _, params = tracker_and_params
+    flat = tapnext_checkpoint.flatten(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    expected = [
+        "backbone/embedding/kernel",
+        "backbone/embedding/bias",
+        "backbone/mask_token",
+        "backbone/unknown_token",
+        "backbone/point_query_token",
+        "backbone/pos_embedding",
+        "backbone/pos_embedding_full",
+        "backbone/Transformer/encoder_norm/scale",
+        "backbone/Transformer/encoder_norm/bias",
+        "backbone/Transformer/encoderblock_0/ssm_block/temporal_pre_norm/scale",
+        "backbone/Transformer/encoderblock_0/ssm_block/recurrent_block/linear_y/kernel",
+        "backbone/Transformer/encoderblock_0/ssm_block/recurrent_block/conv_1d/w",
+        "backbone/Transformer/encoderblock_0/ssm_block/recurrent_block/rg_lru/a_param",
+        "backbone/Transformer/encoderblock_0/ssm_block/recurrent_block/rg_lru/input_gate/w",
+        "backbone/Transformer/encoderblock_0/ssm_block/mlp_block/ffw_up/w",
+        "backbone/Transformer/encoderblock_0/ssm_block/mlp_block/ffw_down/kernel",
+        "backbone/Transformer/encoderblock_0/vit_block/LayerNorm_0/scale",
+        "backbone/Transformer/encoderblock_0/vit_block/MultiHeadDotProductAttention_0/query/kernel",
+        "backbone/Transformer/encoderblock_0/vit_block/MultiHeadDotProductAttention_0/out/kernel",
+        "backbone/Transformer/encoderblock_0/vit_block/MlpBlock_0/Dense_0/kernel",
+        "backbone/Transformer/encoderblock_1/vit_block/LayerNorm_1/scale",
+        "visible_head/layers_0/kernel",
+        "visible_head/layers_1/scale",
+        "visible_head/layers_3/kernel",
+        "visible_head/layers_4/scale",
+        "visible_head/layers_6/kernel",
+        "coordinate_head/layers_0/kernel",
+        "coordinate_head/layers_6/bias",
+    ]
+    missing = [k for k in expected if k not in flat]
+    assert not missing, f"missing checkpoint keys: {missing}"
+
+  def test_npz_round_trip(self, tracker_and_params, tmp_path):
+    _, params = tracker_and_params
+    path = str(tmp_path / "ckpt.npz")
+    tapnext_checkpoint.save_tapnext_checkpoint(path, params)
+    restored = tapnext_checkpoint.load_tapnext_checkpoint(path)
+    orig_flat = tapnext_checkpoint.flatten(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    new_flat = tapnext_checkpoint.flatten(restored)
+    assert set(orig_flat) == set(new_flat)
+    for k in orig_flat:
+      np.testing.assert_array_equal(orig_flat[k], new_flat[k])
+
+
+class TestQueryEmbedding:
+
+  def test_token_placement(self, tracker_and_params):
+    """Reproduces the docstring schema: [U] before the query frame, [XY] at
+    it, [M] after (ssm_vit.py reference:451-463)."""
+    model, params = tracker_and_params
+    backbone = ssm_vit.MaskedSequenceDecoder(config=TINY)
+    bb_params = params["backbone"]
+
+    qp = jnp.asarray([[[0.0, 8.0, 8.0], [2.0, 16.0, 16.0]]])  # [1, 2, 3]
+    tokens = backbone.apply(
+        {"params": bb_params},
+        T,
+        qp[..., None, :],
+        jnp.ones((1, 2, 1)),
+        method=ssm_vit.MaskedSequenceDecoder.embed_queries_and_hints,
+    )  # [1, T, 2, c]
+
+    mask_tok = np.asarray(bb_params["mask_token"])[0, 0, 0]
+    unk_tok = np.asarray(bb_params["unknown_token"])[0, 0]
+
+    # Track 0: query at t=0 -> [XY] at 0 (not mask), [M] at 1..4.
+    assert not np.allclose(tokens[0, 0, 0], mask_tok)
+    for t in range(1, T):
+      np.testing.assert_allclose(tokens[0, t, 0], mask_tok)
+    # Track 1: query at t=2 -> [U] at 0, 1; [XY] at 2; [M] at 3, 4.
+    np.testing.assert_allclose(tokens[0, 0, 1], unk_tok)
+    np.testing.assert_allclose(tokens[0, 1, 1], unk_tok)
+    assert not np.allclose(tokens[0, 2, 1], mask_tok)
+    assert not np.allclose(tokens[0, 2, 1], unk_tok)
+    np.testing.assert_allclose(tokens[0, 3, 1], mask_tok)
+
+  def test_multi_hint_overrides(self, tracker_and_params):
+    model, params = tracker_and_params
+    backbone = ssm_vit.MaskedSequenceDecoder(config=TINY)
+    bb_params = params["backbone"]
+    # One track with hints at t=0 and t=1.
+    qp = jnp.asarray([[[[0.0, 8.0, 8.0], [1.0, 10.0, 10.0]]]])
+    padding = jnp.ones((1, 1, 2))
+    tokens = backbone.apply(
+        {"params": bb_params},
+        T,
+        qp,
+        padding,
+        method=ssm_vit.MaskedSequenceDecoder.embed_queries_and_hints,
+    )
+    mask_tok = np.asarray(bb_params["mask_token"])[0, 0, 0]
+    assert not np.allclose(tokens[0, 0, 0], mask_tok)  # hint 0
+    assert not np.allclose(tokens[0, 1, 0], mask_tok)  # hint 1
+    np.testing.assert_allclose(tokens[0, 2, 0], mask_tok)
+
+
+class TestTAPNextForward:
+
+  def test_offline_shapes(self, tracker_and_params):
+    model, params = tracker_and_params
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(B, T, 32, 32, 3).astype(np.float32) * 2 - 1)
+    qp = jnp.asarray(
+        np.stack(
+            [
+                rng.randint(0, T, (B, Q)).astype(np.float32),
+                rng.rand(B, Q) * 32,
+                rng.rand(B, Q) * 32,
+            ],
+            axis=-1,
+        )
+    )
+    out = model.apply({"params": params}, video, qp)
+    assert out.tracks.shape == (B, Q, T, 2)
+    assert out.track_logits.shape == (B, Q, T, 512)
+    assert out.visible_logits.shape == (B, Q, T, 1)
+    assert len(out.intermediate_tracks) == TINY.depth
+    # Decoded coordinates live in the 256-bin raster range.
+    assert float(out.tracks.min()) >= 0.0
+    assert float(out.tracks.max()) <= 256.0
+
+  def test_streaming_matches_offline(self, tracker_and_params):
+    model, params = tracker_and_params
+    rng = np.random.RandomState(1)
+    video = jnp.asarray(rng.rand(B, T, 32, 32, 3).astype(np.float32) * 2 - 1)
+    qp = jnp.asarray([[[0.0, 8.0, 8.0], [0.0, 16.0, 16.0], [2.0, 20.0, 4.0]]])
+
+    offline = model.apply({"params": params}, video, qp)
+
+    # Warm-up on frame 0 with the queries, then stream the rest.
+    res = model.apply(
+        {"params": params},
+        video[:, :1],
+        qp,
+        method=tapnext.TAPNextTracker.forward_step,
+    )
+    tracks = [np.asarray(res.tracks)]
+    vis = [np.asarray(res.visible_logits)]
+    state = res.state
+    for t in range(1, T):
+      res = model.apply(
+          {"params": params},
+          video[:, t : t + 1],
+          None,
+          None,
+          state,
+          method=tapnext.TAPNextTracker.forward_step,
+      )
+      state = res.state
+      tracks.append(np.asarray(res.tracks))
+      vis.append(np.asarray(res.visible_logits))
+
+    online_tracks = np.concatenate(tracks, axis=2)
+    online_vis = np.concatenate(vis, axis=2)
+    np.testing.assert_allclose(
+        online_tracks, np.asarray(offline.tracks), rtol=1e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        online_vis, np.asarray(offline.visible_logits), rtol=1e-4, atol=2e-3
+    )
+
+  def test_certainty_range(self, tracker_and_params):
+    model, params = tracker_and_params
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(2, 4, 512).astype(np.float32))
+    tracks = jnp.asarray(rng.rand(2, 4, 2).astype(np.float32) * 256)
+    cert = tapnext.tracker_certainty(tracks, logits)
+    assert cert.shape == (2, 4, 1)
+    assert float(cert.min()) >= 0.0
+    assert float(cert.max()) <= 1.0
