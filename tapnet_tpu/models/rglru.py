@@ -87,6 +87,9 @@ def linear_recurrence(
 ) -> Tuple[Array, Array]:
   """Computes h[t] = a[t] * h[t-1] + x[t] over axis 1 (time).
 
+  Dispatches to the Pallas TPU scan kernel (tapnet_tpu.ops.scan) on TPU and
+  to a parallel associative scan elsewhere.
+
   Args:
     x: [B, T, C] inputs.
     a: [B, T, C] per-step decay in (0, 1).
@@ -95,23 +98,11 @@ def linear_recurrence(
   Returns:
     (y [B, T, C] in x.dtype, h_last [B, C] fp32)
   """
-  xf = x.astype(jnp.float32)
-  af = a.astype(jnp.float32)
-  if x.shape[1] == 1:
-    # Streaming fast path.
-    h = xf[:, 0] if h0 is None else af[:, 0] * h0 + xf[:, 0]
-    return h[:, None].astype(x.dtype), h
-  if h0 is not None:
-    first = af[:, 0] * h0 + xf[:, 0]
-    xf = jax.lax.dynamic_update_index_in_dim(xf, first, 0, axis=1)
+  from tapnet_tpu.ops import scan as scan_ops
 
-  def combine(left, right):
-    a_l, x_l = left
-    a_r, x_r = right
-    return a_l * a_r, a_r * x_l + x_r
-
-  _, y = jax.lax.associative_scan(combine, (af, xf), axis=1)
-  return y.astype(x.dtype), y[:, -1]
+  if h0 is None:
+    h0 = jnp.zeros((x.shape[0], x.shape[-1]), jnp.float32)
+  return scan_ops.linear_scan(x, a, h0)
 
 
 class RGLRU(nn.Module):
