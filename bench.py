@@ -10,7 +10,7 @@ i.e. 136 points*frames/sec; vs_baseline is the ratio against that anchor.
 
 import json
 import os
-import time
+
 
 import jax
 
@@ -62,23 +62,19 @@ def main():
     )["params"]
   params = jax.device_put(params, jax.devices()[0])
 
-  @jax.jit
   def forward(video, query_points):
     out = model.apply(
         {"params": params}, video, query_points, query_chunk_size=chunk
     )
     return out["tracks"], out["occlusion"], out["expected_dist"]
 
-  # Warmup / compile.
-  jax.block_until_ready(forward(video, query_points))
+  # Amortized timing: iterate inside one jit so the remote-dispatch sync
+  # round-trip (~30 ms on tunneled backends) doesn't pollute the number.
+  from tapnet_tpu.utils import profiling
 
-  times = []
-  for _ in range(3):
-    t0 = time.perf_counter()
-    jax.block_until_ready(forward(video, query_points))
-    times.append(time.perf_counter() - t0)
-
-  best = min(times)
+  best = profiling.benchmark(
+      forward, video, query_points, iters_per_measure=3, num_measures=3
+  )
   pf_per_sec = queries * frames / best
   print(
       json.dumps({

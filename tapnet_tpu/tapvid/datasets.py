@@ -190,8 +190,10 @@ def create_kinetics_dataset(
     query_mode: str = "strided",
     resolution: Optional[Tuple[int, int]] = (256, 256),
 ) -> Iterable[DatasetElement]:
-  """TAP-Vid Kinetics: sharded pickles (*_of_0010.pkl), JPEG-byte frames."""
-  shards = sorted(glob.glob(os.path.join(kinetics_path, "*_of_0010.pkl")))
+  """TAP-Vid Kinetics: sharded pickles (*_of_NNNN.pkl), JPEG-byte frames."""
+  shards = sorted(
+      glob.glob(os.path.join(kinetics_path, "*_of_[0-9]*.pkl"))
+  )
   for shard in shards:
     with open(shard, "rb") as f:
       data = pickle.load(f)
