@@ -1,0 +1,156 @@
+"""Kubric-format training data ingest.
+
+The reference trains on the external Kubric MOVi point-tracking TFDS
+(training/experiment.py:263). This module consumes pre-exported Kubric
+examples as npz files — one per example, with:
+
+  video          [T, H, W, 3] uint8
+  target_points  [N, T, 2] (x, y) raster at video resolution
+  occluded       [N, T] bool
+  (optional) query_points [N, 3] (t, y, x); sampled from the tracks if absent
+
+Host work is limited to mmap'd npz reads; resize-to-train-resolution,
+normalization, query sampling, and color augmentation run on device under
+jit (the reference does all of this in a host-side TF pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import threading
+import queue as queue_lib
+from typing import Iterator, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tapnet_tpu.data import augmentations
+from tapnet_tpu.utils import transforms
+
+Array = jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def prepare_batch(
+    rng: Array,
+    batch: Mapping[str, Array],
+    train_size: Tuple[int, int] = (256, 256),
+    num_queries: int = 256,
+    color_augment: bool = True,
+) -> Mapping[str, Array]:
+  """Device-side: resize, normalize, sample visible queries, color-augment.
+
+  batch: video uint8 [B, T, H, W, 3]; target_points [B, N, T, 2];
+  occluded [B, N, T].
+  """
+  video = batch["video"].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+  b, t, h, w, _ = video.shape
+  if (h, w) != tuple(train_size):
+    video = jax.image.resize(
+        video, (b, t) + tuple(train_size) + (3,), "bilinear"
+    )
+  target_points = transforms.convert_grid_coordinates(
+      batch["target_points"], (w, h), train_size[::-1]
+  )
+  occluded = batch["occluded"].astype(jnp.float32)
+
+  # Sample query points: a random visible (track, frame) pair per query.
+  def sample_one(rng, pts, occ):
+    n, t = occ.shape
+    k1, k2 = jax.random.split(rng)
+    visible = 1.0 - occ
+    # Weight tracks by visibility so fully-occluded tracks are avoided.
+    track_w = visible.sum(-1) + 1e-6
+    tracks = jax.random.choice(
+        k1, n, (num_queries,), p=track_w / track_w.sum()
+    )
+    frame_logits = jnp.where(visible[tracks] > 0, 0.0, -1e9)
+    frames = jax.random.categorical(k2, frame_logits, axis=-1)
+    xy = pts[tracks, frames]  # (x, y)
+    qp = jnp.stack(
+        [frames.astype(jnp.float32), xy[:, 1], xy[:, 0]], axis=-1
+    )
+    return qp, pts[tracks], occ[tracks]
+
+  rngs = jax.random.split(rng, b + 1)
+  qp, tp, occ = jax.vmap(sample_one)(rngs[1:], target_points, occluded)
+
+  if color_augment:
+    video = jax.vmap(augmentations.color_augmentation)(
+        jax.random.split(rngs[0], b), video
+    )
+
+  return {
+      "video": video,
+      "query_points": qp,
+      "target_points": tp,
+      "occluded": occ,
+  }
+
+
+class KubricNpzReader:
+  """Double-buffered host reader over a directory of Kubric npz examples."""
+
+  def __init__(
+      self,
+      data_dir: str,
+      batch_size: int,
+      seed: int = 0,
+      prefetch: int = 2,
+  ):
+    self.paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not self.paths:
+      raise ValueError(f"No npz files in {data_dir}")
+    self.batch_size = batch_size
+    self.rng = np.random.RandomState(seed)
+    self._queue: queue_lib.Queue = queue_lib.Queue(maxsize=prefetch)
+    self._thread = threading.Thread(target=self._worker, daemon=True)
+    self._thread.start()
+
+  def _load(self, path: str) -> Mapping[str, np.ndarray]:
+    with np.load(path) as z:
+      return {
+          "video": z["video"],
+          "target_points": z["target_points"],
+          "occluded": z["occluded"],
+      }
+
+  def _worker(self):
+    while True:
+      idx = self.rng.randint(0, len(self.paths), self.batch_size)
+      examples = [self._load(self.paths[i]) for i in idx]
+      batch = {
+          k: np.stack([e[k] for e in examples]) for k in examples[0]
+      }
+      self._queue.put(batch)
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> Mapping[str, np.ndarray]:
+    return self._queue.get()
+
+
+def training_iterator(
+    data_dir: str,
+    batch_size: int,
+    train_size: Tuple[int, int] = (256, 256),
+    num_queries: int = 256,
+    color_augment: bool = True,
+    seed: int = 0,
+) -> Iterator[Mapping[str, Array]]:
+  """Host reads + device-side preparation, ready for Trainer.fit."""
+  reader = KubricNpzReader(data_dir, batch_size, seed=seed)
+  rng = jax.random.PRNGKey(seed)
+  for batch in reader:
+    rng, key = jax.random.split(rng)
+    yield prepare_batch(
+        key,
+        jax.tree_util.tree_map(jnp.asarray, batch),
+        train_size,
+        num_queries,
+        color_augment,
+    )

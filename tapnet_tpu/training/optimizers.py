@@ -41,11 +41,12 @@ def make_lr_schedule(
 ) -> optax.Schedule:
   """Cosine-with-warmup or constant-then-cosine schedules."""
   if config.schedule_type == "cosine":
+    # decay_steps counts from step 0 and must exceed the warmup.
     return optax.warmup_cosine_decay_schedule(
         init_value=config.init_value,
         peak_value=config.base_lr,
         warmup_steps=config.warmup_steps,
-        decay_steps=total_steps,
+        decay_steps=max(total_steps, config.warmup_steps + 1),
         end_value=config.end_value,
     )
   if config.schedule_type == "constant_cosine":

@@ -195,8 +195,14 @@ class Trainer:
       num_steps: int,
       log_every: int = 50,
       rng: Optional[Array] = None,
+      eval_fn: Optional[Callable[[TrainState], Mapping[str, float]]] = None,
+      evaluate_every: int = 0,
   ) -> TrainState:
-    """Runs `num_steps` training steps, logging scalar means."""
+    """Runs `num_steps` training steps, logging scalar means.
+
+    If `eval_fn` is given, it is called every `evaluate_every` steps with the
+    current state (the reference's in-train eval, experiment.py:193-197).
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     last_t = time.time()
     for i in range(num_steps):
@@ -225,5 +231,15 @@ class Trainer:
         checkpointing.save_checkpoint(
             self.checkpoint_path,
             dict(params=state.params, opt_state=state.opt_state, step=step),
+        )
+      if eval_fn is not None and evaluate_every and (
+          step % evaluate_every == 0
+      ):
+        eval_scalars = eval_fn(state)
+        print(
+            "eval @"
+            + str(step)
+            + " "
+            + " ".join(f"{k}={v:.4f}" for k, v in eval_scalars.items())
         )
     return state

@@ -1,0 +1,123 @@
+"""Config registry, Kubric npz ingest, JHMDB PCK, and visualizer tests."""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapnet_tpu import configs
+from tapnet_tpu.data import kubric
+from tapnet_tpu.tapvid import jhmdb
+
+
+class TestConfigs:
+
+  def test_registry_builds_models(self):
+    for name in ["tapir", "tapnet", "causal_tapir", "bootstapir"]:
+      exp = configs.get_experiment(name)
+      model = exp.build_model()
+      assert model is not None
+      assert exp.total_steps > 0
+
+  def test_reference_hparams(self):
+    exp = configs.get_experiment("tapir")
+    assert exp.optimizer.base_lr == 1e-3
+    assert exp.optimizer.adam_b2 == 0.95
+    assert exp.optimizer.weight_decay == 0.1
+    assert exp.task.train_chunk_size == 32
+    boots = configs.get_experiment("bootstapir")
+    assert boots.model_config.extra_convs
+    assert boots.model_config.softmax_temperature == 10.0
+
+  def test_unknown_raises(self):
+    with pytest.raises(ValueError):
+      configs.get_experiment("nope")
+
+
+class TestKubricIngest:
+
+  def make_npz_dir(self, tmp_path, n=3, t=4, h=24, w=24, tracks=6):
+    rng = np.random.RandomState(0)
+    for i in range(n):
+      np.savez(
+          tmp_path / f"ex_{i}.npz",
+          video=(rng.rand(t, h, w, 3) * 255).astype(np.uint8),
+          target_points=(rng.rand(tracks, t, 2) * [w, h]).astype(
+              np.float32
+          ),
+          occluded=rng.rand(tracks, t) > 0.7,
+      )
+    return str(tmp_path)
+
+  def test_training_iterator(self, tmp_path):
+    path = self.make_npz_dir(tmp_path)
+    it = kubric.training_iterator(
+        path, batch_size=2, train_size=(16, 16), num_queries=5,
+        color_augment=True,
+    )
+    batch = next(it)
+    assert batch["video"].shape == (2, 4, 16, 16, 3)
+    assert batch["query_points"].shape == (2, 5, 3)
+    assert batch["target_points"].shape == (2, 5, 4, 2)
+    assert batch["occluded"].shape == (2, 5, 4)
+    # Queries land on visible frames and match targets on the query frame.
+    qp = np.asarray(batch["query_points"])
+    tp = np.asarray(batch["target_points"])
+    occ = np.asarray(batch["occluded"])
+    for b in range(2):
+      for q in range(5):
+        t = int(qp[b, q, 0])
+        assert occ[b, q, t] == 0.0
+        np.testing.assert_allclose(
+            qp[b, q, 1:], tp[b, q, t][::-1], rtol=1e-5
+        )
+    # Points rescaled to train resolution.
+    assert tp.max() <= 16.0 + 1e-4
+
+
+class TestJhmdbPck:
+
+  def test_perfect_predictions(self):
+    rng = np.random.RandomState(0)
+    j, t = 15, 8
+    gt = rng.rand(1, j, t, 2) * [320, 240]
+    results = [{
+        "pred_pose": gt.copy(),
+        "gt_pose_orig": gt.copy(),
+        "im_size": np.array([240, 320]),
+    }]
+    out = jhmdb.pck_evaluate(results)
+    for alpha in jhmdb.PCK_ALPHAS:
+      assert out[f"PCK@{alpha}"] == 100.0
+
+  def test_far_predictions_zero(self):
+    rng = np.random.RandomState(1)
+    j, t = 15, 4
+    gt = rng.rand(1, j, t, 2) * 100 + 50
+    results = [{
+        "pred_pose": gt + 1000.0,
+        "gt_pose_orig": gt,
+        "im_size": np.array([240, 320]),
+    }]
+    out = jhmdb.pck_evaluate(results)
+    assert out["PCK@0.5"] == 0.0
+
+
+class TestVisualizer:
+
+  def test_visualize_example(self, tmp_path):
+    from tapnet_tpu.tapvid import visualize
+
+    rng = np.random.RandomState(0)
+    example = {
+        "video": (rng.rand(3, 32, 32, 3) * 255).astype(np.uint8),
+        "points": rng.rand(4, 3, 2).astype(np.float32),
+        "occluded": rng.rand(4, 3) > 0.5,
+    }
+    out = str(tmp_path / "viz.mp4")
+    visualize.visualize_example(example, out)
+    import os
+
+    assert os.path.getsize(out) > 0
