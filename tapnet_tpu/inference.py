@@ -41,6 +41,7 @@ class TapirPredictor:
       query_bucket: int = 64,
       frame_bucket: Optional[int] = None,
       query_chunk_size: Optional[int] = 64,
+      bfloat16: bool = False,
   ):
     """Args:
       params: Flax params (e.g. from checkpoints.load_tapir_checkpoint).
@@ -49,8 +50,22 @@ class TapirPredictor:
       frame_bucket: if set, frames are padded (by repeating the last frame)
         up to a multiple of this, bounding the number of compiled variants.
       query_chunk_size: memory-bounding chunk inside the model.
+      bfloat16: run backbone / correlations / mixer in bf16 (fp32
+        accumulations and heads). ~3-4x faster on TPU; positions typically
+        shift by well under a pixel.
     """
-    self.model = tapir_lib.TAPIR(config=config or tapir_lib.TapirConfig())
+    import dataclasses as _dc
+
+    config = config or tapir_lib.TapirConfig()
+    if bfloat16:
+      config = _dc.replace(config, compute_dtype="bfloat16")
+      params = jax.tree_util.tree_map(
+          lambda x: x.astype(jnp.bfloat16)
+          if hasattr(x, "astype") and x.dtype == jnp.float32
+          else x,
+          params,
+      )
+    self.model = tapir_lib.TAPIR(config=config)
     self.params = params
     self.query_bucket = query_bucket
     self.frame_bucket = frame_bucket

@@ -29,11 +29,14 @@ class InstanceNorm(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    # Statistics always in fp32 (bf16 activations would lose too much).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+    var = jnp.var(xf, axis=(-3, -2), keepdims=True)
     scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
     offset = self.param("offset", nn.initializers.zeros, (x.shape[-1],))
-    return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + offset
+    out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + offset
+    return out.astype(x.dtype)
 
 
 def layer_norm(x: Array, name: str, use_bias: bool = False) -> Array:

@@ -59,6 +59,14 @@ class TapirConfig:
   use_matmul_corr: bool = True
   feature_extractor_chunk_size: Optional[int] = None
   parallelize_query_extraction: bool = False
+  # "bfloat16" runs the backbone, correlation einsums and mixer in bf16 with
+  # fp32 accumulations (preferred_element_type) and fp32 normalization
+  # statistics; heads and soft-argmax stay fp32.
+  compute_dtype: str = "float32"
+
+  @property
+  def dtype(self):
+    return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 def tapir_config(**overrides) -> "TapirConfig":
@@ -128,6 +136,11 @@ class TapirCausalState(NamedTuple):
     return self.pre.shape[3]
 
 
+# Query-axis position by rank for per-chunk output trees: points [I,B,c,T,2],
+# occ/expd [I,B,c,T], causal state [I,L,B,c,k-1,d].
+_QUERY_AXIS = {4: 2, 5: 2, 6: 3}
+
+
 def _avg_pool_2x(x: Array) -> Array:
   """2x2 VALID average pool over the spatial dims of [B, T, H, W, C]."""
   b, t, h, w, c = x.shape
@@ -137,9 +150,11 @@ def _avg_pool_2x(x: Array) -> Array:
 
 
 def _l2_normalize(x: Array) -> Array:
-  return x * jax.lax.rsqrt(
-      jnp.maximum(jnp.sum(jnp.square(x), axis=-1, keepdims=True), 1e-12)
+  xf = x.astype(jnp.float32)
+  out = xf * jax.lax.rsqrt(
+      jnp.maximum(jnp.sum(jnp.square(xf), axis=-1, keepdims=True), 1e-12)
   )
+  return out.astype(x.dtype)
 
 
 def _tent_weights(coords: Array, size: int, patch_size: int) -> Array:
@@ -292,7 +307,7 @@ class TAPIR(nn.Module):
               video.shape[0:2] + resolution + (3,),
               method="bilinear",
           )
-        latent, hi = self._backbone_features(resized)
+        latent, hi = self._backbone_features(resized.astype(cfg.dtype))
         cached[resolution] = (_l2_normalize(latent), _l2_normalize(hi))
       lo, hi = cached[resolution]
       lowres.append(lo)
@@ -500,7 +515,7 @@ class TAPIR(nn.Module):
         axis=-1,
     )
     b, n, t, c = mlp_input.shape
-    x = mlp_input.reshape(b * n, t, c)
+    x = mlp_input.reshape(b * n, t, c).astype(cfg.dtype)
     if cache is not None:
       cache = jax.tree_util.tree_map(
           lambda v: v.reshape((v.shape[0], b * n) + v.shape[3:]), cache
@@ -590,52 +605,34 @@ class TAPIR(nn.Module):
     )
     num_frames = feature_grids.lowres[0].shape[1]
 
-    pts_iters = [[] for _ in range(num_iters + 1)]
-    occ_iters = [[] for _ in range(num_iters + 1)]
-    expd_iters = [[] for _ in range(num_iters + 1)]
-    new_state_chunks: List[Any] = []
+    def track_chunk(mdl, xs):
+      """Stage 1 + all refinement iterations for one query chunk.
 
-    for ch_idx, ch in enumerate(range(0, num_queries, query_chunk_size)):
-      perm_chunk = perm[ch : ch + query_chunk_size]
-      chunk = query_features.lowres[0][:, perm_chunk]
-
-      if query_points_in_video is not None:
-        infer_qp = query_points_in_video[:, perm_chunk]
-        infer_qp = transforms.convert_grid_coordinates(
-            infer_qp,
-            (num_frames,) + tuple(video_size),
-            (num_frames,) + cfg.initial_resolution,
-            coordinate_format="tyx",
-        )
-      else:
-        infer_qp = None
-
-      points, occlusion, expected_dist = self.cost_volume_head(
-          chunk, feature_grids.lowres[0], infer_qp, im_shape
+      Returns (stacked per-iteration outputs, optional new cache state).
+      """
+      points, occlusion, expected_dist = mdl.cost_volume_head(
+          xs["qf_low"][0], feature_grids.lowres[0], xs.get("qp"), im_shape
       )
-      pts_iters[0].append(train2orig(points))
-      occ_iters[0].append(occlusion)
-      expd_iters[0].append(expected_dist)
+      pts_i = [train2orig(points)]
+      occ_i = [occlusion]
+      expd_i = [expected_dist]
+      init_occ, init_expd = occlusion, expected_dist
 
       mixer_feats = None
       iter_caches = []
       for i in range(num_iters):
         level = i // cfg.num_pips_iter + 1
-        queries = [
-            query_features.hires[level][:, perm_chunk],
-            query_features.lowres[level][:, perm_chunk],
-        ]
+        queries = [xs["qf_hi"][level], xs["qf_low"][level]]
         for _ in range(cfg.pyramid_level):
           queries.append(queries[-1])
 
         cache_i = None
         if causal_state is not None:
           cache_i = MixerCache(
-              pre=causal_state.pre[i][:, :, perm_chunk],
-              mid=causal_state.mid[i][:, :, perm_chunk],
+              pre=xs["state_pre"][i], mid=xs["state_mid"][i]
           )
 
-        refined = self._refine_pips(
+        refined = mdl._refine_pips(  # pylint: disable=protected-access
             queries,
             pyramids[level - 1],
             points,
@@ -647,42 +644,142 @@ class TAPIR(nn.Module):
             cache=cache_i,
             return_cache=get_causal_context,
         )
-        if is_training and ch_idx > 0:
-          refined = jax.lax.stop_gradient(refined)
         points, occlusion, expected_dist, mixer_feats, new_cache = refined
         iter_caches.append(new_cache)
-
-        pts_iters[i + 1].append(train2orig(points))
-        occ_iters[i + 1].append(occlusion)
-        expd_iters[i + 1].append(expected_dist)
-
+        pts_i.append(train2orig(points))
+        occ_i.append(occlusion)
+        expd_i.append(expected_dist)
         if (i + 1) % cfg.num_pips_iter == 0:
           # Reset for the next resolution: start from the stage-1 estimate.
           mixer_feats = None
-          occlusion = occ_iters[0][-1]
-          expected_dist = expd_iters[0][-1]
+          occlusion, expected_dist = init_occ, init_expd
 
+      outs = dict(
+          points=jnp.stack(pts_i),
+          occ=jnp.stack(occ_i),
+          expd=jnp.stack(expd_i),
+      )
       if get_causal_context:
-        new_state_chunks.append(
-            TapirCausalState(
-                pre=jnp.stack([c.pre for c in iter_caches]),
-                mid=jnp.stack([c.mid for c in iter_caches]),
-            )
-        )
+        outs["state_pre"] = jnp.stack([c.pre for c in iter_caches])
+        outs["state_mid"] = jnp.stack([c.mid for c in iter_caches])
+      return outs
 
-    occlusion = [
-        jnp.concatenate(x, axis=1)[:, inv_perm] for x in occ_iters
-    ]
-    points = [jnp.concatenate(x, axis=1)[:, inv_perm] for x in pts_iters]
-    expd = [jnp.concatenate(x, axis=1)[:, inv_perm] for x in expd_iters]
+    def chunk_inputs(perm_chunk):
+      xs = dict(
+          qf_low=jnp.stack(
+              [qf[:, perm_chunk] for qf in query_features.lowres]
+          ),
+          qf_hi=jnp.stack(
+              [qf[:, perm_chunk] for qf in query_features.hires]
+          ),
+      )
+      if query_points_in_video is not None:
+        xs["qp"] = transforms.convert_grid_coordinates(
+            query_points_in_video[:, perm_chunk],
+            (num_frames,) + tuple(video_size),
+            (num_frames,) + cfg.initial_resolution,
+            coordinate_format="tyx",
+        )
+      if causal_state is not None:
+        xs["state_pre"] = causal_state.pre[:, :, :, perm_chunk]
+        xs["state_mid"] = causal_state.mid[:, :, :, perm_chunk]
+      return xs
+
+    num_chunks = -(-num_queries // query_chunk_size)
+
+    if is_training or num_chunks == 1:
+      # Static loop: supports per-chunk stop_gradient for training and
+      # ragged last chunks; a single chunk needs no scan machinery.
+      chunk_outs = []
+      for ch_idx, ch in enumerate(range(0, num_queries, query_chunk_size)):
+        outs = track_chunk(self, chunk_inputs(perm[ch : ch + query_chunk_size]))
+        if is_training and ch_idx > 0:
+          # Only the first (random) chunk trains the refinement stage
+          # (reference: tapir_model.py:1024-1025); stage-1 (index 0) keeps
+          # its gradient for every chunk.
+          outs = dict(
+              outs,
+              points=jnp.concatenate(
+                  [
+                      outs["points"][:1],
+                      jax.lax.stop_gradient(outs["points"][1:]),
+                  ]
+              ),
+              occ=jnp.concatenate(
+                  [outs["occ"][:1], jax.lax.stop_gradient(outs["occ"][1:])]
+              ),
+              expd=jnp.concatenate(
+                  [outs["expd"][:1], jax.lax.stop_gradient(outs["expd"][1:])]
+              ),
+          )
+        chunk_outs.append(outs)
+      # Concatenate (possibly ragged) chunks along the query axis, unpermute.
+      merged_ragged = jax.tree_util.tree_map(
+          lambda *xs: jnp.concatenate(xs, axis=_QUERY_AXIS[xs[0].ndim]),
+          *chunk_outs,
+      )
+      points = list(merged_ragged["points"][:, :, inv_perm])
+      occlusion = list(merged_ragged["occ"][:, :, inv_perm])
+      expd = list(merged_ragged["expd"][:, :, inv_perm])
+      out: Dict[str, Any] = dict(
+          occlusion=occlusion, tracks=points, expected_dist=expd
+      )
+      if get_causal_context:
+        out["causal_context"] = TapirCausalState(
+            pre=merged_ragged["state_pre"][:, :, :, inv_perm],
+            mid=merged_ragged["state_mid"][:, :, :, inv_perm],
+        )
+      return out
+    else:
+      # Inference: scan over query chunks — one traced/compiled chunk body
+      # regardless of query count (vs. the reference's unrolled loop with
+      # fake barriers, tapir_model.py:949-1041). Pad queries to a multiple
+      # of the chunk size; chunks are independent, so padding is sliced off
+      # afterward without affecting results.
+      padded = num_chunks * query_chunk_size
+      perm_padded = jnp.concatenate(
+          [perm, jnp.zeros(padded - num_queries, perm.dtype)]
+      )
+      perm_mat = perm_padded.reshape(num_chunks, query_chunk_size)
+      xs_all = jax.vmap(chunk_inputs)(perm_mat)
+
+      def scan_fn(mdl, carry, xs):
+        return carry, track_chunk(mdl, xs)
+
+      scanned = nn.scan(
+          scan_fn,
+          variable_broadcast="params",
+          split_rngs={"params": False},
+          in_axes=0,
+          out_axes=0,
+      )
+      _, stacked = scanned(self, 0, xs_all)
+
+    # stacked: points [C, iters+1, B, c, T, 2]; merge chunk axes, unpermute,
+    # drop padding.
+    def merge(x):
+      # [C, I, B, c, ...] -> [I, B, C*c, ...]
+      x = jnp.moveaxis(x, 0, 2)
+      x = x.reshape(x.shape[0], x.shape[1], -1, *x.shape[4:])
+      return x[:, :, : num_queries][:, :, inv_perm]
+
+    points = list(merge(stacked["points"]))
+    occlusion = list(merge(stacked["occ"]))
+    expd = list(merge(stacked["expd"]))
 
     out: Dict[str, Any] = dict(
         occlusion=occlusion, tracks=points, expected_dist=expd
     )
     if get_causal_context:
-      out["causal_context"] = jax.tree_util.tree_map(
-          lambda *xs: jnp.concatenate(xs, axis=3)[:, :, :, inv_perm],
-          *new_state_chunks,
+      # [C, I, L, B, c, ...] -> [I, L, B, C*c, ...]
+      def merge_state(x):
+        x = jnp.moveaxis(x, 0, 4)
+        x = x.reshape(*x.shape[:3], -1, *x.shape[5:])
+        return x[:, :, :, : num_queries][:, :, :, inv_perm]
+
+      out["causal_context"] = TapirCausalState(
+          pre=merge_state(stacked["state_pre"]),
+          mid=merge_state(stacked["state_mid"]),
       )
     return out
 

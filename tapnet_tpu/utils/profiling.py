@@ -82,20 +82,23 @@ def benchmark(
   data dependence so XLA cannot elide iterations.
   """
 
-  def once(_, carry):
-    out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return carry + jnp.sum(leaf).astype(jnp.float32) * 0.0
-
   @jax.jit
-  def run_n():
+  def run_n(*args):
+    # args must be jit parameters, not closure constants: closed-over arrays
+    # are inlined into the serialized program, which breaks remote compilers
+    # on large inputs.
+    def once(_, carry):
+      out = fn(*args)
+      leaf = jax.tree_util.tree_leaves(out)[0]
+      return carry + jnp.sum(leaf).astype(jnp.float32) * 0.0
+
     return jax.lax.fori_loop(0, iters_per_measure, once, jnp.float32(0))
 
   for _ in range(warmup):
-    float(run_n())
+    float(run_n(*args))
   times = []
   for _ in range(num_measures):
     t0 = time.perf_counter()
-    float(run_n())
+    float(run_n(*args))
     times.append((time.perf_counter() - t0) / iters_per_measure)
   return min(times)

@@ -1,0 +1,60 @@
+"""bf16 inference mode: close to fp32, and norm stats stay fp32-stable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tapnet_tpu import inference
+from tapnet_tpu.models import tapir as tapir_lib
+
+CFG = tapir_lib.TapirConfig(
+    num_mixer_blocks=2,
+    num_pips_iter=2,
+    pyramid_level=0,
+    initial_resolution=(32, 40),
+    blocks_per_group=(1, 1, 1, 1),
+)
+
+
+def test_bf16_close_to_fp32():
+  model = tapir_lib.TAPIR(config=CFG)
+  rng = np.random.RandomState(7)
+  video = jnp.asarray(rng.rand(1, 4, 32, 40, 3).astype(np.float32) * 2 - 1)
+  qp = jnp.asarray(
+      np.stack(
+          [
+              rng.randint(0, 4, (1, 4)).astype(np.float32),
+              rng.rand(1, 4) * 32,
+              rng.rand(1, 4) * 40,
+          ],
+          axis=-1,
+      )
+  )
+  params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+
+  p32 = inference.TapirPredictor(params, CFG, query_bucket=4,
+                                 query_chunk_size=4)
+  p16 = inference.TapirPredictor(
+      params, CFG, query_bucket=4, query_chunk_size=4, bfloat16=True
+  )
+  o32, o16 = p32(video, qp), p16(video, qp)
+  assert np.abs(o32["tracks"] - o16["tracks"]).max() < 1.0  # < 1 px
+  assert np.abs(o32["occlusion"] - o16["occlusion"]).max() < 0.5
+  assert o16["tracks"].dtype == np.float32
+
+
+def test_instance_norm_bf16_stats():
+  from tapnet_tpu.models.layers import InstanceNorm
+
+  rng = np.random.RandomState(0)
+  # Large offset: bf16 statistics would be catastrophically quantized.
+  x = (rng.rand(2, 8, 8, 4).astype(np.float32) * 0.01 + 300.0)
+  norm = InstanceNorm()
+  params = norm.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+  out32 = norm.apply({"params": params}, jnp.asarray(x))
+  out16 = norm.apply(
+      {"params": params}, jnp.asarray(x, jnp.bfloat16)
+  ).astype(jnp.float32)
+  # fp32 internal stats keep the normalized output sane even for bf16 input.
+  assert np.abs(np.asarray(out16)).max() < 10.0
+  assert out16.dtype == jnp.float32
