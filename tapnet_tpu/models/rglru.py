@@ -195,14 +195,12 @@ class CausalConv1D(nn.Module):
     if x.shape[1] == 1:
       y = jnp.einsum("btc,tc->bc", full, w)[:, None] + b
     else:
-      y = jax.lax.conv_general_dilated(
-          full,
-          w[:, None, :],  # [K, 1, C] grouped kernel
-          window_strides=(1,),
-          padding="VALID",
-          dimension_numbers=("NWC", "WIO", "NWC"),
-          feature_group_count=c,
-      ) + b
+      # Depthwise conv as k shifted elementwise FMAs: feature-grouped convs
+      # lower poorly on TPU, shift-and-add fuses on the VPU.
+      t_out = full.shape[1] - (k - 1)
+      y = jnp.zeros_like(x) + b
+      for j in range(k):
+        y = y + full[:, j : j + t_out] * w[j]
     new_cache = full[:, full.shape[1] - (k - 1):]
     return y, new_cache
 

@@ -419,28 +419,31 @@ class TAPIR(nn.Module):
     per_frame_query = query.ndim == 4
 
     if cfg.use_matmul_corr:
+      # fp32 accumulation on the MXU, compute-dtype intermediates: the full
+      # [B,N,T,H,W] correlation map dominates HBM traffic at high res, so
+      # materialize it (and the tent weights) in the compute dtype.
       if per_frame_query:
         corrs = jnp.einsum(
             "bthwc,bntc->bnthw",
             grid,
             query,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(cfg.dtype)
       else:
         corrs = jnp.einsum(
             "bthwc,bnc->bnthw",
             grid,
             query,
             preferred_element_type=jnp.float32,
-        )
-      wy = _tent_weights(coords[..., 0] - 0.5, h, p)  # [B,N,T,p,H]
-      wx = _tent_weights(coords[..., 1] - 0.5, w, p)  # [B,N,T,p,W]
+        ).astype(cfg.dtype)
+      wy = _tent_weights(coords[..., 0] - 0.5, h, p).astype(cfg.dtype)
+      wx = _tent_weights(coords[..., 1] - 0.5, w, p).astype(cfg.dtype)
       patches = jnp.einsum(
           "bntph,bnthw->bntpw",
           wy,
           corrs,
           preferred_element_type=jnp.float32,
-      )
+      ).astype(cfg.dtype)
       patches = jnp.einsum(
           "bntqw,bntpw->bntpq",
           wx,

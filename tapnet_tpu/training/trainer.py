@@ -86,13 +86,8 @@ def compute_tapir_loss(
   return loss, scalars
 
 
-def make_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    task: TaskConfig = TaskConfig(),
-) -> Callable[[TrainState, Mapping[str, Array], Array],
-              Tuple[TrainState, Mapping[str, Array]]]:
-  """Builds the (unjitted) train step; callers jit it with shardings."""
+def tapir_loss_builder(model, task: TaskConfig):
+  """Default loss for TAPIR/TAP-Net-style cost-volume trackers."""
 
   def loss_fn(params, batch, rng):
     output = model.apply(
@@ -104,6 +99,41 @@ def make_train_step(
         rngs={"permutation": rng},
     )
     return compute_tapir_loss(output, batch, task)
+
+  return loss_fn
+
+
+def tapnext_loss_builder(model, task: TaskConfig):
+  """Loss for TAPNext: coordinate CE + Huber + visibility with deep
+  supervision. Expects batch target_points as (x, y); converts to the
+  model's (y, x) convention."""
+  from tapnet_tpu.models import tapnext_losses
+
+  def loss_fn(params, batch, rng):
+    del rng
+    results = model.apply(
+        {"params": params}, batch["video"], batch["query_points"]
+    )
+    target_yx = batch["target_points"][..., ::-1]
+    visible = 1.0 - batch["occluded"]
+    return tapnext_losses.tapnext_loss(results, target_yx, visible)
+
+  return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    task: TaskConfig = TaskConfig(),
+    loss_builder: Optional[Callable] = None,
+) -> Callable[[TrainState, Mapping[str, Array], Array],
+              Tuple[TrainState, Mapping[str, Array]]]:
+  """Builds the (unjitted) train step; callers jit it with shardings.
+
+  `loss_builder(model, task) -> loss_fn(params, batch, rng)` selects the
+  task (default: the TAPIR supervised point-prediction loss).
+  """
+  loss_fn = (loss_builder or tapir_loss_builder)(model, task)
 
   def train_step(state: TrainState, batch, rng):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -129,9 +159,11 @@ class Trainer:
       mesh=None,
       checkpoint_path: Optional[str] = None,
       checkpoint_every: int = 1000,
+      loss_builder: Optional[Callable] = None,
   ):
     self.model = model
     self.task = task
+    self.loss_builder = loss_builder
     self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
     self.lr_schedule = optimizers.make_lr_schedule(
         optimizer_config, total_steps
@@ -143,14 +175,22 @@ class Trainer:
     self._compiled_step = None
 
   def init_state(self, example_batch, seed: int = 42) -> TrainState:
-    params = self.model.init(
-        {"params": jax.random.PRNGKey(seed),
-         "permutation": jax.random.PRNGKey(0)},
-        example_batch["video"],
-        example_batch["query_points"],
-        query_chunk_size=self.task.train_chunk_size,
-        is_training=True,
-    )["params"]
+    try:
+      params = self.model.init(
+          {"params": jax.random.PRNGKey(seed),
+           "permutation": jax.random.PRNGKey(0)},
+          example_batch["video"],
+          example_batch["query_points"],
+          query_chunk_size=self.task.train_chunk_size,
+          is_training=True,
+      )["params"]
+    except TypeError:
+      # Models without the cost-volume signature (e.g. TAPNext).
+      params = self.model.init(
+          jax.random.PRNGKey(seed),
+          example_batch["video"],
+          example_batch["query_points"],
+      )["params"]
     opt_state = self.tx.init(params)
     state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
     # Replicate across the mesh.
@@ -167,7 +207,9 @@ class Trainer:
     return self.init_state(example_batch)
 
   def _build_step(self):
-    step_fn = make_train_step(self.model, self.tx, self.task)
+    step_fn = make_train_step(
+        self.model, self.tx, self.task, self.loss_builder
+    )
     repl = mesh_lib.replicated(self.mesh)
     batch_shardings = dict(
         video=mesh_lib.batch_sharding(self.mesh),

@@ -171,3 +171,38 @@ class TestCheckpointing:
 
   def test_missing_returns_none(self, tmp_path):
     assert checkpointing.restore_checkpoint(str(tmp_path / "nope.npy")) is None
+
+
+class TestTapnextTraining:
+
+  def test_tapnext_sharded_train_step(self):
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    cfg = ssm_vit.SsmVitConfig(
+        width=32,
+        depth=1,
+        mlp_dim=64,
+        num_heads=2,
+        patch_size=(1, 8, 8),
+        image_size=(32, 32),
+    )
+    t = trainer.Trainer(
+        tapnext.TAPNextTracker(config=cfg),
+        optimizers.OptimizerConfig(base_lr=1e-3, warmup_steps=1,
+                                   weight_decay=0.0),
+        total_steps=4,
+        mesh=mesh,
+        loss_builder=trainer.tapnext_loss_builder,
+    )
+    batch = tiny_batch()
+    state = t.init_state(batch)
+    sharded = mesh_lib.shard_batch(batch, t.mesh)
+    state, scalars = t.step_fn(state, sharded, jax.random.PRNGKey(0))
+    state, scalars = t.step_fn(
+        state, mesh_lib.shard_batch(tiny_batch(), t.mesh),
+        jax.random.PRNGKey(1),
+    )
+    assert int(state.step) == 2
+    assert np.isfinite(float(scalars["loss"]))
+    assert "coordinate_loss" in scalars
