@@ -363,6 +363,21 @@ class TAPIR(nn.Module):
     Returns:
       QueryFeatures with per-resolution [B, N, C] descriptors.
     """
+    def sample(grid, pos_tyx):
+      if not self.config.parallelize_query_extraction:
+        return sampling.sample_grid_batched(grid, pos_tyx)
+      # Per-frame gather + one-hot frame mask: every frame samples every
+      # query's (y, x), then the wrong frames are masked out. Under a
+      # frame-sharded mesh this keeps gathers local instead of all-gathering
+      # the full video grid (reference: tapir_model.py:793-833).
+      t = grid.shape[1]
+      per_frame = jax.vmap(  # over batch
+          jax.vmap(sampling.sample_grid_2d, in_axes=(0, None))
+      )(grid, pos_tyx[..., 1:])  # [B, T, N, C]
+      frame_id = jnp.round(pos_tyx[..., 0]).astype(jnp.int32)  # [B, N]
+      is_frame = jax.nn.one_hot(frame_id, t, axis=1)  # [B, T, N]
+      return jnp.sum(per_frame * is_frame[..., None], axis=1)
+
     lowres_feats, hires_feats = [], []
     cached: Dict[Tuple[int, int], Tuple[Array, Array]] = {}
     for i, res in enumerate(feature_grids.resolutions):
@@ -380,8 +395,8 @@ class TAPIR(nn.Module):
             feature_grids.hires[i].shape[1:4],
             coordinate_format="tyx",
         )
-        lo = sampling.sample_grid_batched(feature_grids.lowres[i], pos_low)
-        hi = sampling.sample_grid_batched(feature_grids.hires[i], pos_hi)
+        lo = sample(feature_grids.lowres[i], pos_low)
+        hi = sample(feature_grids.hires[i], pos_hi)
         cached[key] = (lo, hi)
       lo, hi = cached[key]
       lowres_feats.append(lo)

@@ -32,6 +32,9 @@ class TrainState(NamedTuple):
   params: Any
   opt_state: Any
   step: Array
+  # Non-parameter variable collections (e.g. BatchNorm batch_stats for
+  # TAP-Net's TSM backbone); empty dict for stateless models.
+  model_state: Any = {}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,16 +92,20 @@ def compute_tapir_loss(
 def tapir_loss_builder(model, task: TaskConfig):
   """Default loss for TAPIR/TAP-Net-style cost-volume trackers."""
 
-  def loss_fn(params, batch, rng):
-    output = model.apply(
-        {"params": params},
+  def loss_fn(params, model_state, batch, rng):
+    variables = {"params": params, **model_state}
+    mutable = list(model_state.keys())
+    output, new_state = model.apply(
+        variables,
         batch["video"],
         batch["query_points"],
         query_chunk_size=task.train_chunk_size,
         is_training=True,
         rngs={"permutation": rng},
+        mutable=mutable,
     )
-    return compute_tapir_loss(output, batch, task)
+    loss, scalars = compute_tapir_loss(output, batch, task)
+    return loss, (scalars, new_state)
 
   return loss_fn
 
@@ -109,14 +116,69 @@ def tapnext_loss_builder(model, task: TaskConfig):
   model's (y, x) convention."""
   from tapnet_tpu.models import tapnext_losses
 
-  def loss_fn(params, batch, rng):
+  def loss_fn(params, model_state, batch, rng):
     del rng
     results = model.apply(
-        {"params": params}, batch["video"], batch["query_points"]
+        {"params": params, **model_state},
+        batch["video"],
+        batch["query_points"],
     )
     target_yx = batch["target_points"][..., ::-1]
     visible = 1.0 - batch["occluded"]
-    return tapnext_losses.tapnext_loss(results, target_yx, visible)
+    loss, scalars = tapnext_losses.tapnext_loss(results, target_yx, visible)
+    return loss, (scalars, model_state)
+
+  return loss_fn
+
+
+def contrastive_loss_builder(model, task: TaskConfig,
+                             softmax_temperature: float = 10.0):
+  """Legacy cost-volume cycle-consistency loss (the original TAP-Net
+  baseline algorithm; reference: supervised_point_prediction.py:255-302):
+  maximize the log-softmax mass of each query's cost volume at its
+  ground-truth trajectory positions, over visible frames."""
+  from tapnet_tpu.utils import sampling as sampling_lib
+  from tapnet_tpu.utils import transforms as transforms_lib
+
+  def loss_fn(params, model_state, batch, rng):
+    del rng
+    out, new_state = model.apply(
+        {"params": params, **model_state},
+        batch["video"],
+        batch["query_points"],
+        query_chunk_size=task.train_chunk_size,
+        is_training=True,
+        get_query_feats=True,
+        mutable=list(model_state.keys()),
+    )
+    feature_grid = out["feature_grid"]  # [B, T, h, w, C]
+    query_feats = out["query_feats"]  # [B, N, C]
+    im_shape = batch["video"].shape
+
+    losses = []
+    n = query_feats.shape[1]
+    for start in range(0, n, task.train_chunk_size):
+      q = query_feats[:, start : start + task.train_chunk_size]
+      dots = jnp.einsum("bnc,bthwc->bnthw", q, feature_grid)
+      log_softmax = jax.nn.log_softmax(
+          dots * softmax_temperature, axis=(2, 3, 4)
+      )
+      target = transforms_lib.convert_grid_coordinates(
+          batch["target_points"][:, start : start + task.train_chunk_size],
+          tuple(im_shape)[3:1:-1],
+          feature_grid.shape[3:1:-1],
+      )
+      # Sample the per-frame log-softmax along the GT trajectory (y, x).
+      b, nq, t = log_softmax.shape[:3]
+      flat = log_softmax.reshape(b * nq * t, *log_softmax.shape[3:])
+      pts = target[..., ::-1].reshape(b * nq * t, 1, 2)
+      vals = jax.vmap(sampling_lib.sample_grid_2d)(
+          flat[..., None], pts
+      ).reshape(b, nq, t)
+      visible = 1.0 - batch["occluded"][:, start : start + task.train_chunk_size]
+      losses.append(jnp.mean(vals * visible, axis=-1))
+    loss = -jnp.mean(jnp.concatenate(losses, axis=1))
+    return loss, ({"loss": loss, "contrastive_loss": loss}, new_state)
 
   return loss_fn
 
@@ -130,19 +192,26 @@ def make_train_step(
               Tuple[TrainState, Mapping[str, Array]]]:
   """Builds the (unjitted) train step; callers jit it with shardings.
 
-  `loss_builder(model, task) -> loss_fn(params, batch, rng)` selects the
-  task (default: the TAPIR supervised point-prediction loss).
+  `loss_builder(model, task) -> loss_fn(params, model_state, batch, rng)`
+  selects the task (default: the TAPIR supervised point-prediction loss);
+  the loss returns `(loss, (scalars, new_model_state))` so stateful models
+  (BatchNorm batch_stats) thread their collections through the step.
   """
   loss_fn = (loss_builder or tapir_loss_builder)(model, task)
 
   def train_step(state: TrainState, batch, rng):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, scalars), grads = grad_fn(state.params, batch, rng)
+    (_, (scalars, model_state)), grads = grad_fn(
+        state.params, state.model_state, batch, rng
+    )
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     scalars = dict(scalars)
     scalars["gradient_norm"] = optax.global_norm(grads)
-    return TrainState(params, opt_state, state.step + 1), scalars
+    return (
+        TrainState(params, opt_state, state.step + 1, model_state),
+        scalars,
+    )
 
   return train_step
 
@@ -176,23 +245,27 @@ class Trainer:
 
   def init_state(self, example_batch, seed: int = 42) -> TrainState:
     try:
-      params = self.model.init(
+      variables = self.model.init(
           {"params": jax.random.PRNGKey(seed),
            "permutation": jax.random.PRNGKey(0)},
           example_batch["video"],
           example_batch["query_points"],
           query_chunk_size=self.task.train_chunk_size,
           is_training=True,
-      )["params"]
+      )
     except TypeError:
       # Models without the cost-volume signature (e.g. TAPNext).
-      params = self.model.init(
+      variables = self.model.init(
           jax.random.PRNGKey(seed),
           example_batch["video"],
           example_batch["query_points"],
-      )["params"]
+      )
+    variables = dict(variables)
+    params = variables.pop("params")
     opt_state = self.tx.init(params)
-    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    state = TrainState(
+        params, opt_state, jnp.zeros((), jnp.int32), variables
+    )
     # Replicate across the mesh.
     return jax.device_put(state, mesh_lib.replicated(self.mesh))
 
@@ -201,7 +274,10 @@ class Trainer:
       ckpt = checkpointing.restore_checkpoint(self.checkpoint_path)
       if ckpt is not None:
         state = TrainState(
-            ckpt["params"], ckpt["opt_state"], jnp.asarray(ckpt["step"])
+            ckpt["params"],
+            ckpt["opt_state"],
+            jnp.asarray(ckpt["step"]),
+            ckpt.get("model_state", {}),
         )
         return jax.device_put(state, mesh_lib.replicated(self.mesh))
     return self.init_state(example_batch)
@@ -258,13 +334,14 @@ class Trainer:
         dt = (time.time() - last_t) / log_every
         last_t = time.time()
         lr = float(self.lr_schedule(step))
-        print(
-            f"step {step} loss {float(scalars['loss']):.4f} "
-            f"pos {float(scalars['position_loss']):.4f} "
-            f"occ {float(scalars['occlusion_loss']):.4f} "
-            f"gnorm {float(scalars['gradient_norm']):.3f} "
-            f"lr {lr:.2e} {dt*1000:.0f} ms/step"
-        )
+        parts = [f"step {step} loss {float(scalars['loss']):.4f}"]
+        if "position_loss" in scalars:
+          parts.append(f"pos {float(scalars['position_loss']):.4f}")
+        if "occlusion_loss" in scalars:
+          parts.append(f"occ {float(scalars['occlusion_loss']):.4f}")
+        parts.append(f"gnorm {float(scalars['gradient_norm']):.3f}")
+        parts.append(f"lr {lr:.2e} {dt*1000:.0f} ms/step")
+        print(" ".join(parts))
       if (
           self.checkpoint_path
           and self.checkpoint_every
@@ -272,7 +349,12 @@ class Trainer:
       ):
         checkpointing.save_checkpoint(
             self.checkpoint_path,
-            dict(params=state.params, opt_state=state.opt_state, step=step),
+            dict(
+                params=state.params,
+                opt_state=state.opt_state,
+                step=step,
+                model_state=state.model_state,
+            ),
         )
       if eval_fn is not None and evaluate_every and (
           step % evaluate_every == 0

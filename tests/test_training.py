@@ -206,3 +206,59 @@ class TestTapnextTraining:
     assert int(state.step) == 2
     assert np.isfinite(float(scalars["loss"]))
     assert "coordinate_loss" in scalars
+
+
+class TestContrastiveLoss:
+
+  def test_contrastive_train_step(self):
+    from tapnet_tpu.models import tapnet as tapnet_lib
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    t = trainer.Trainer(
+        tapnet_lib.TAPNet(config=tapnet_lib.TapNetConfig()),
+        optimizers.OptimizerConfig(base_lr=1e-3, warmup_steps=1,
+                                   weight_decay=0.0),
+        total_steps=4,
+        task=trainer.TaskConfig(train_chunk_size=4),
+        mesh=mesh,
+        loss_builder=trainer.contrastive_loss_builder,
+    )
+    batch = tiny_batch()
+    state = t.init_state(batch)
+    sharded = mesh_lib.shard_batch(batch, t.mesh)
+    state, scalars = t.step_fn(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(scalars["contrastive_loss"]))
+
+
+class TestParallelQueryExtraction:
+
+  def test_matches_default_extraction(self):
+    import dataclasses
+
+    model = tapir_lib.TAPIR(config=TINY)
+    par_model = tapir_lib.TAPIR(
+        config=dataclasses.replace(TINY, parallelize_query_extraction=True)
+    )
+    batch = tiny_batch(batch_size=1, num_queries=4)
+    video, qp = batch["video"], batch["query_points"]
+    params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+
+    grids = model.apply(
+        {"params": params}, video, method=tapir_lib.TAPIR.get_feature_grids
+    )
+    qf_a = model.apply(
+        {"params": params}, video.shape, qp, grids,
+        method=tapir_lib.TAPIR.get_query_features,
+    )
+    qf_b = par_model.apply(
+        {"params": params}, video.shape, qp, grids,
+        method=tapir_lib.TAPIR.get_query_features,
+    )
+    for a, b in zip(qf_a.lowres, qf_b.lowres):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+      )
+    for a, b in zip(qf_a.hires, qf_b.hires):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+      )
