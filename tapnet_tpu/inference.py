@@ -42,6 +42,7 @@ class TapirPredictor:
       frame_bucket: Optional[int] = None,
       query_chunk_size: Optional[int] = 64,
       bfloat16: bool = False,
+      mesh: Optional[Any] = None,
   ):
     """Args:
       params: Flax params (e.g. from checkpoints.load_tapir_checkpoint).
@@ -49,10 +50,18 @@ class TapirPredictor:
       query_bucket: queries are padded up to a multiple of this.
       frame_bucket: if set, frames are padded (by repeating the last frame)
         up to a multiple of this, bounding the number of compiled variants.
+        NOTE: the refinement mixer is temporal and (offline) bidirectional,
+        so a padded tail can shift predictions slightly — keep clip lengths
+        bucket-aligned when exact reproducibility matters.
       query_chunk_size: memory-bounding chunk inside the model.
       bfloat16: run backbone / correlations / mixer in bf16 (fp32
         accumulations and heads). ~3-4x faster on TPU; positions typically
         shift by well under a pixel.
+      mesh: optional jax.sharding.Mesh for multi-chip inference: frames are
+        sharded for feature extraction and queries for refinement
+        (parallel/mesh.py inference_shardings); params are replicated.
+        Query counts must then be divisible by the device count — tune
+        `query_bucket` accordingly.
     """
     import dataclasses as _dc
 
@@ -67,13 +76,19 @@ class TapirPredictor:
       )
     self.model = tapir_lib.TAPIR(config=config)
     self.params = params
+    self.mesh = mesh
+    if mesh is not None:
+      # Sharded axes must be divisible by the device count: pad frames and
+      # queries up to mesh multiples.
+      n_dev = int(np.prod(mesh.devices.shape))
+      query_bucket = _round_up(query_bucket, n_dev)
+      frame_bucket = _round_up(frame_bucket or 1, n_dev)
     self.query_bucket = query_bucket
     self.frame_bucket = frame_bucket
     self.query_chunk_size = query_chunk_size
 
   @functools.cached_property
   def _jitted_forward(self):
-    @functools.partial(jax.jit, static_argnums=(2,))
     def fwd(video, query_points, chunk):
       return self.model.apply(
           {"params": self.params},
@@ -82,7 +97,18 @@ class TapirPredictor:
           query_chunk_size=chunk,
       )
 
-    return fwd
+    if self.mesh is None:
+      return jax.jit(fwd, static_argnums=(2,))
+
+    from tapnet_tpu.parallel import mesh as mesh_lib
+
+    video_s, query_s, out_s = mesh_lib.inference_shardings(self.mesh)
+    return jax.jit(
+        fwd,
+        static_argnums=(2,),
+        in_shardings=(video_s, query_s),
+        out_shardings=out_s,
+    )
 
   def __call__(
       self, video: Array, query_points: Array

@@ -57,6 +57,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
 
 
+def inference_shardings(mesh: Mesh):
+  """Shardings for sharded offline inference of one (or few) long videos.
+
+  Video [B, T, H, W, 3] is sharded over frames ("data" axis holds T):
+  feature extraction runs frame-parallel; XLA all-gathers the (small)
+  feature grids so the refinement stage can run query-parallel, with
+  queries [B, N, 3] sharded over the same devices. Outputs stay
+  query-sharded.
+
+  Returns:
+    (video_sharding, query_sharding, output_sharding).
+  """
+  video = NamedSharding(mesh, P(None, DATA_AXIS))
+  queries = NamedSharding(mesh, P(None, DATA_AXIS))
+  outputs = NamedSharding(mesh, P(None, DATA_AXIS))
+  return video, queries, outputs
+
+
 def shard_batch(batch, mesh: Mesh):
   """Places a host batch dict onto the mesh: video over "data", query-indexed
   tensors over ("data", "model")."""

@@ -34,6 +34,11 @@ class OptimizerConfig:
   end_value: float = 0.0
   constant_fraction: float = 0.5
   max_consecutive_nonfinite: int = 5
+  # Parameters whose path contains any of these substrings get their final
+  # update multiplied by `fast_lr_multiplier` (the reference's "fast
+  # variables" boost, experiment.py:348-371).
+  fast_variables: tuple = ()
+  fast_lr_multiplier: float = 10.0
 
 
 def make_lr_schedule(
@@ -107,6 +112,21 @@ def make_optimizer(
         )
     )
   chain.extend([optax.scale_by_schedule(lr_schedule), optax.scale(-1.0)])
+
+  if config.fast_variables:
+
+    def fast_mask(params):
+      def decide(path, _):
+        names = [
+            p.key if hasattr(p, "key") else str(p) for p in path
+        ]
+        return any(s in n for s in config.fast_variables for n in names)
+
+      return jax.tree_util.tree_map_with_path(decide, params)
+
+    chain.append(
+        optax.masked(optax.scale(config.fast_lr_multiplier), fast_mask)
+    )
 
   tx = optax.chain(*chain)
   return optax.apply_if_finite(

@@ -7,6 +7,11 @@ tensors additionally over "model", params replicated, gradient all-reduce
 inserted by XLA. Loss follows the reference task
 (supervised_point_prediction.py:216-253): TAP loss on the final prediction
 plus every unrefined refinement iteration.
+
+Cross-replica BatchNorm (reference resnet.py:49, cross_replica_axis='i')
+needs no explicit collective here: with the batch sharded over "data" inside
+one jit, GSPMD computes batch statistics over the global batch
+(tests/test_training.py::TestCrossReplicaBatchNorm).
 """
 
 from __future__ import annotations

@@ -262,3 +262,71 @@ class TestParallelQueryExtraction:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
       )
+
+
+class TestFastVariables:
+  """The reference's fast-variable LR boost (experiment.py:348-371)."""
+
+  def test_boosted_update_is_10x(self):
+    import optax
+    from tapnet_tpu.training import optimizers as opt_lib
+
+    params = {"head": {"w": jnp.ones((3,))}, "body": {"w": jnp.ones((3,))}}
+    cfg = opt_lib.OptimizerConfig(
+        base_lr=1.0, weight_decay=0.0, warmup_steps=0,
+        schedule_type="cosine", fast_variables=("head",),
+    )
+    sched = lambda step: 1.0
+    tx = opt_lib.make_optimizer(cfg, sched)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    ratio = float(updates["head"]["w"][0] / updates["body"]["w"][0])
+    np.testing.assert_allclose(ratio, 10.0, rtol=1e-5)
+
+
+class TestCrossReplicaBatchNorm:
+  """The reference syncs BatchNorm across replicas (cross_replica_axis='i',
+  resnet.py:49). Under one jit over a Mesh, GSPMD computes batch statistics
+  over the GLOBAL batch automatically — sharding must not change them."""
+
+  def test_batch_stats_match_sharded_vs_replicated(self):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tapnet_tpu.models import tapnet as tapnet_lib
+    from tapnet_tpu.parallel import mesh as mesh_lib
+
+    model = tapnet_lib.TAPNet(config=tapnet_lib.TapNetConfig())
+    video = jax.random.uniform(
+        jax.random.PRNGKey(0), (8, 2, 32, 32, 3)
+    ) * 2 - 1
+    queries = jnp.tile(
+        jnp.array([[[0.0, 10.0, 12.0], [1.0, 20.0, 8.0]]]), (8, 1, 1)
+    )
+    variables = model.init(
+        jax.random.PRNGKey(1), video, queries, is_training=True
+    )
+
+    def stats(v, q):
+      _, updated = model.apply(
+          variables, v, q, is_training=True, mutable=["batch_stats"]
+      )
+      return updated["batch_stats"]
+
+    ref = jax.jit(stats)(video, queries)
+
+    mesh = mesh_lib.make_mesh()
+    sharded = jax.jit(
+        stats,
+        in_shardings=(
+            NamedSharding(mesh, P("data")),
+            NamedSharding(mesh, P("data")),
+        ),
+        out_shardings=NamedSharding(mesh, P()),
+    )(video, queries)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(sharded)
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+      )
