@@ -45,3 +45,71 @@ def load_tapnext_checkpoint(path: str) -> Dict[str, Any]:
 def save_tapnext_checkpoint(path: str, params: Mapping[str, Any]) -> None:
   """Saves Flax params as a released-format flat .npz."""
   np.savez(path, **flatten(params))
+
+
+def _resize_posemb(pe: np.ndarray, new_hw, name: str) -> np.ndarray:
+  """Bicubically resizes a [1, h*w, c] learned posemb to a new square-ish
+  grid (half-pixel centers, matching torch align_corners=False)."""
+  import jax
+
+  tokens, c = pe.shape[1], pe.shape[2]
+  native = int(round(np.sqrt(tokens)))
+  if native * native != tokens:
+    raise ValueError(
+        f"{name} has {tokens} tokens (not a perfect square); cannot"
+        " interpolate."
+    )
+  nh, nw = new_hw
+  if (nh, nw) == (native, native):
+    return pe
+  grid = pe.reshape(native, native, c).astype(np.float32)
+  resized = jax.image.resize(grid, (nh, nw, c), method="bicubic")
+  return np.asarray(resized).reshape(1, nh * nw, c).astype(pe.dtype)
+
+
+def adapt_posembs(
+    params: Mapping[str, Any],
+    old_config,
+    new_config,
+) -> Dict[str, Any]:
+  """Adapts learned positional embeddings to a new input resolution.
+
+  Mirrors the reference's resolution adaptation for TAPNext++ at 512 input
+  (tapnext_torch.py:248-284, `_video_pos_emb` bicubic interpolation): the
+  per-patch image posemb is interpolated onto the denser patch grid, and
+  the full-resolution query posemb onto the new pixel grid. Done once at
+  checkpoint-load time (the interpolation is input-independent), keeping
+  the model forward static-shaped.
+
+  Args:
+    params: Flax params from `load_tapnext_checkpoint`.
+    old_config: SsmVitConfig the checkpoint was trained with.
+    new_config: SsmVitConfig to run with (e.g. image_size=(512, 512)).
+
+  Returns:
+    New params pytree with resized `pos_embedding` / `pos_embedding_full`.
+  """
+  patch_hw = (
+      new_config.image_size[0] // new_config.patch_size[1],
+      new_config.image_size[1] // new_config.patch_size[2],
+  )
+  full_hw = (
+      new_config.image_size[0] * new_config.query_scale,
+      new_config.image_size[1] * new_config.query_scale,
+  )
+
+  def walk(node):
+    out = {}
+    for k, v in node.items():
+      if isinstance(v, Mapping):
+        out[k] = walk(v)
+      elif k == "pos_embedding":
+        out[k] = _resize_posemb(np.asarray(v), patch_hw, k)
+      elif k == "pos_embedding_full":
+        out[k] = _resize_posemb(np.asarray(v), full_hw, k)
+      else:
+        out[k] = v
+    return out
+
+  del old_config  # shapes are recovered from the params themselves
+  return walk(params)

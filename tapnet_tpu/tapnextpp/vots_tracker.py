@@ -88,8 +88,23 @@ class VotsPointTracker:
       n_support: int = N_SUPPORT,
       support_radius: float = SUPPORT_RADIUS,
   ):
-    from tapnet_tpu import inference
+    import dataclasses
 
+    from tapnet_tpu import inference
+    from tapnet_tpu.checkpoints import tapnext_checkpoint
+
+    if config is not None and config.image_size != (
+        input_resolution,
+        input_resolution,
+    ):
+      # Running a checkpoint above its training resolution (the reference
+      # runs TAPNext++ at 512 from a 256-trained model): bicubically
+      # interpolate the learned posembs once at load time.
+      new_config = dataclasses.replace(
+          config, image_size=(input_resolution, input_resolution)
+      )
+      params = tapnext_checkpoint.adapt_posembs(params, config, new_config)
+      config = new_config
     self.predictor = inference.OnlineTapnextPredictor(params, config)
     self.input_resolution = input_resolution
     self.n_support = n_support

@@ -212,3 +212,69 @@ class TestTAPNextForward:
     assert cert.shape == (2, 4, 1)
     assert float(cert.min()) >= 0.0
     assert float(cert.max()) <= 1.0
+
+
+class TestPosembAdaptation:
+  """Resolution adaptation of learned posembs
+  (reference tapnext_torch.py:248-284)."""
+
+  def _tiny(self, image_size):
+    from tapnet_tpu.models import ssm_vit
+    return ssm_vit.variant_config("mu", image_size=image_size)
+
+  def test_identity_at_native_resolution(self):
+    from tapnet_tpu.checkpoints import tapnext_checkpoint
+    from tapnet_tpu.models import tapnext
+
+    cfg = self._tiny((32, 32))
+    model = tapnext.TAPNextTracker(config=cfg)
+    video = jnp.zeros((1, 2, 32, 32, 3))
+    queries = jnp.zeros((1, 2, 3))
+    params = model.init(jax.random.PRNGKey(0), video, queries)["params"]
+    adapted = tapnext_checkpoint.adapt_posembs(params, cfg, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(adapted),
+    ):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_upscaled_model_runs(self):
+    from tapnet_tpu.checkpoints import tapnext_checkpoint
+    from tapnet_tpu.models import tapnext
+
+    cfg_small = self._tiny((32, 32))
+    cfg_big = self._tiny((64, 64))
+    model_small = tapnext.TAPNextTracker(config=cfg_small)
+    video = jnp.zeros((1, 2, 32, 32, 3))
+    queries = jnp.array([[[0.0, 8.0, 8.0], [1.0, 20.0, 4.0]]])
+    params = model_small.init(jax.random.PRNGKey(0), video, queries)[
+        "params"
+    ]
+    adapted = tapnext_checkpoint.adapt_posembs(params, cfg_small, cfg_big)
+
+    model_big = tapnext.TAPNextTracker(config=cfg_big)
+    video_big = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 2, 64, 64, 3)
+    )
+    out = model_big.apply(
+        {"params": adapted}, video_big, queries * 2.0
+    )
+    assert out.tracks.shape == (1, 2, 2, 2)
+    assert bool(jnp.isfinite(out.tracks).all())
+
+  def test_bicubic_preserves_linear_ramp(self):
+    from tapnet_tpu.checkpoints import tapnext_checkpoint
+
+    # A linear ramp along y must stay (nearly) linear after resizing.
+    h = 8
+    ramp = np.broadcast_to(
+        np.linspace(0, 1, h)[:, None, None], (h, h, 4)
+    ).reshape(1, h * h, 4).astype(np.float32)
+    out = tapnext_checkpoint._resize_posemb(ramp, (16, 16), "pe")
+    grid = out.reshape(16, 16, 4)
+    col = grid[:, 0, 0]
+    diffs = np.diff(col[2:-2])
+    assert np.all(diffs > 0)
+    np.testing.assert_allclose(
+        diffs, diffs.mean(), rtol=0.2
+    )

@@ -114,3 +114,36 @@ class TestGenerate:
     ex = examples[0]["kinetics"]
     assert ex["video"].shape[1] == 250
     assert ex["occluded"].shape[-1] == 250
+
+
+class TestVotsResolutionAdaptation:
+
+  def test_runs_above_training_resolution(self):
+    """A 32-trained config driven at 64 input: posembs auto-interpolate."""
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    cfg = ssm_vit.SsmVitConfig(
+        width=32,
+        depth=1,
+        mlp_dim=64,
+        num_heads=2,
+        patch_size=(1, 8, 8),
+        image_size=(32, 32),
+    )
+    model = tapnext.TAPNextTracker(config=cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 32, 32, 3)),
+        jnp.zeros((1, 2, 3)),
+    )["params"]
+
+    tracker = vots_tracker.VotsPointTracker(
+        params, cfg, input_resolution=64, n_support=4, support_radius=8.0
+    )
+    rng = np.random.RandomState(0)
+    frame = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    queries = np.array([[10.0, 20.0], [40.0, 30.0]], np.float32)
+    xy, vis = tracker.initialize(frame, queries)
+    assert xy.shape == (2, 2) and vis.shape == (2,)
+    xy2, _ = tracker.track(frame)
+    assert np.isfinite(xy2).all()
