@@ -77,9 +77,14 @@ def benchmark(
 ) -> float:
   """Returns seconds per call of `fn(*args)`, amortizing dispatch latency.
 
-  `fn` must be jittable and return a pytree of arrays; it is wrapped in a
-  fori_loop that feeds (a scalar function of) the output back into a dummy
-  data dependence so XLA cannot elide iterations.
+  `fn` must be jittable and return a pytree of arrays. The loop body
+  perturbs EVERY floating-point input by a carry-dependent value that
+  underflows to zero, so each iteration's inputs are runtime-distinct and
+  XLA cannot hoist the computation out of the loop as loop-invariant (it
+  will, silently, if the body closes over fixed inputs — measured times
+  then approximate cost/iters instead of cost). The perturbation costs one
+  extra elementwise pass over the inputs per iteration; for ops that read
+  their inputs anyway this is at most ~2x input traffic and usually noise.
   """
 
   @jax.jit
@@ -88,9 +93,25 @@ def benchmark(
     # are inlined into the serialized program, which breaks remote compilers
     # on large inputs.
     def once(_, carry):
-      out = fn(*args)
-      leaf = jax.tree_util.tree_leaves(out)[0]
-      return carry + jnp.sum(leaf).astype(jnp.float32) * 0.0
+      eps = carry * jnp.float32(1e-30)  # runtime value, rounds to +0.0
+
+      def bump(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+          return x + eps.astype(x.dtype)
+        return x
+
+      args_i = jax.tree_util.tree_map(bump, args)
+      out = fn(*args_i)
+      picks = [
+          jnp.ravel(leaf)[0].astype(jnp.float32)
+          for leaf in jax.tree_util.tree_leaves(out)
+          if hasattr(leaf, "dtype")
+          and jnp.issubdtype(leaf.dtype, jnp.floating)
+      ]
+      total = picks[0] if picks else jnp.float32(0)
+      for p in picks[1:]:
+        total = total + p
+      return jnp.tanh(total)  # bounded, so eps stays denormal-tiny
 
     return jax.lax.fori_loop(0, iters_per_measure, once, jnp.float32(0))
 
