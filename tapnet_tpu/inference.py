@@ -43,6 +43,7 @@ class TapirPredictor:
       query_chunk_size: Optional[int] = 64,
       bfloat16: bool = False,
       mesh: Optional[Any] = None,
+      refinement_resolutions: Optional[Sequence[Tuple[int, int]]] = None,
   ):
     """Args:
       params: Flax params (e.g. from checkpoints.load_tapir_checkpoint).
@@ -62,6 +63,12 @@ class TapirPredictor:
         (parallel/mesh.py inference_shardings); params are replicated.
         Query counts must then be divisible by the device count — tune
         `query_bucket` accordingly.
+      refinement_resolutions: override the per-iteration refinement
+        resolution ladder (default: log-spaced from 256 up to the video
+        size, matching the reference). The speed/quality knob for
+        high-resolution videos: e.g. [(480, 480)] runs num_pips_iter
+        iterations at the final resolution only, halving refinement cost
+        at 480p.
     """
     import dataclasses as _dc
 
@@ -86,6 +93,11 @@ class TapirPredictor:
     self.query_bucket = query_bucket
     self.frame_bucket = frame_bucket
     self.query_chunk_size = query_chunk_size
+    self.refinement_resolutions = (
+        None
+        if refinement_resolutions is None
+        else [tuple(r) for r in refinement_resolutions]
+    )
 
   @functools.cached_property
   def _jitted_forward(self):
@@ -95,6 +107,7 @@ class TapirPredictor:
           video,
           query_points,
           query_chunk_size=chunk,
+          refinement_resolutions=self.refinement_resolutions,
       )
 
     if self.mesh is None:

@@ -181,6 +181,24 @@ class _DepthwiseParams(nn.Module):
     return kernel, bias
 
 
+class _DenseParams(nn.Module):
+  """Holds Dense-layout params ([in, out] kernel + [out] bias) under a scope
+  named like the nn.Dense it replaces, so checkpoints stay compatible."""
+
+  in_features: int
+  out_features: int
+
+  @nn.compact
+  def __call__(self):
+    kernel = self.param(
+        "kernel",
+        nn.initializers.lecun_normal(),
+        (self.in_features, self.out_features),
+    )
+    bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+    return kernel, bias
+
+
 class MixerBlock(nn.Module):
   """One PIPs-mixer block: temporal depthwise mixing + channel MLP,
   both with pre-LayerNorm residuals (reference: tapir_model.py:101-124)."""
@@ -196,6 +214,8 @@ class MixerBlock(nn.Module):
       cache: Optional[ConvCache] = None,
       return_cache: bool = False,
   ) -> Tuple[Array, Optional[ConvCache]]:
+    from tapnet_tpu.ops import fused_mlp
+
     c = x.shape[-1]
     h = layer_norm(x, "ln_temporal")
     h, new_cache = TemporalDepthwiseBlock(
@@ -203,11 +223,26 @@ class MixerBlock(nn.Module):
     )(h, cache, return_cache)
     x = x + h
 
-    h = layer_norm(x, "ln_channel")
-    h = nn.Dense(c * self.expansion, name="fc_up")(h)
-    h = jax.nn.gelu(h)
-    h = nn.Dense(c, name="fc_down")(h)
-    return x + h, new_cache
+    # Channel MLP with pre-LN and residual, as one fused kernel on TPU
+    # (ops/fused_mlp.py): the 4x hidden never round-trips through HBM.
+    # Parameter scopes/shapes match the nn.LayerNorm/nn.Dense they replace.
+    ln_scale = self.param_like_layer_norm("ln_channel", c)
+    w1, b1 = _DenseParams(c, c * self.expansion, name="fc_up")()
+    w2, b2 = _DenseParams(c * self.expansion, c, name="fc_down")()
+    return fused_mlp.mlp_block(x, ln_scale, w1, b1, w2, b2), new_cache
+
+  def param_like_layer_norm(self, name: str, features: int) -> Array:
+    """Scale param under `<name>/scale`, identical to scale-only
+    nn.LayerNorm."""
+
+    class _Scale(nn.Module):
+      @nn.compact
+      def __call__(self):
+        return self.param(
+            "scale", nn.initializers.ones, (features,)
+        )
+
+    return _Scale(name=name)()
 
 
 class MixerCache(NamedTuple):

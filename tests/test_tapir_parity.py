@@ -289,3 +289,67 @@ class TestCausalParity:
         atol=1e-2,
         rtol=1e-4,
     )
+
+
+class TestGatherTents:
+  """Gather-based tent extraction must equal the matmul form exactly."""
+
+  def test_matches_matmul_tents(self):
+    import dataclasses
+    from tapnet_tpu.models import tapir as tapir_lib
+
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(1, 4, 64, 64, 3).astype(np.float32) * 2 - 1)
+    queries = jnp.asarray(
+        np.stack([
+            rng.randint(0, 4, 6).astype(np.float32),
+            rng.rand(6) * 64,
+            rng.rand(6) * 64,
+        ], -1)[None]
+    )
+    cfg = tapir_lib.tapir_config()
+    model = tapir_lib.TAPIR(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), video, queries)["params"]
+    out_a = model.apply({"params": params}, video, queries)
+
+    cfg_g = dataclasses.replace(cfg, use_gather_tents=True)
+    out_b = tapir_lib.TAPIR(config=cfg_g).apply(
+        {"params": params}, video, queries
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["tracks"]),
+        np.asarray(out_b["tracks"]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["occlusion"]),
+        np.asarray(out_b["occlusion"]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+  def test_boundary_patches_match(self):
+    """Queries at the image edge exercise the zero-weight boundary."""
+    import dataclasses
+    from tapnet_tpu.models import tapir as tapir_lib
+
+    rng = np.random.RandomState(1)
+    video = jnp.asarray(rng.rand(1, 3, 64, 64, 3).astype(np.float32) * 2 - 1)
+    queries = jnp.asarray(
+        [[[0.0, 0.5, 0.5], [1.0, 63.5, 63.5], [2.0, 0.5, 63.5]]]
+    )
+    cfg = tapir_lib.tapir_config()
+    model = tapir_lib.TAPIR(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), video, queries)["params"]
+    out_a = model.apply({"params": params}, video, queries)
+    cfg_g = dataclasses.replace(cfg, use_gather_tents=True)
+    out_b = tapir_lib.TAPIR(config=cfg_g).apply(
+        {"params": params}, video, queries
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["tracks"]),
+        np.asarray(out_b["tracks"]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
