@@ -271,6 +271,49 @@ def variant_config(variant: str, **overrides) -> SsmVitConfig:
   return SsmVitConfig(**kwargs)
 
 
+class TokenSubsampling(nn.Module):
+  """Random temporal-suffix masking of video tokens ("drops video tubes").
+
+  Training-time degradation for TAPNext (reference utils/ssm_utils.py:
+  67-142): per batch element, a cutoff s ~ Uniform{1..T-1} is drawn and all
+  video tokens at frames t >= s are replaced by the mask token, so the
+  model learns to keep tracking from memory when observations stop. The
+  reference builds this from generic scatter helpers; here it is one
+  jnp.where over a time iota.
+
+  Returns (masked_tokens, masked_positions [B, T] bool, True = masked).
+  """
+
+  drop_ratio: float
+  drop_ratio_test: float = 0.0
+  is_training: bool = False
+
+  @nn.compact
+  def __call__(
+      self,
+      tokens: Array,  # [B, T, N, D]
+      mask_token: Array,  # broadcastable to [B, T, N, D]
+      override_drop_ratio: Optional[float] = None,
+  ) -> Tuple[Array, Array]:
+    b, t = tokens.shape[:2]
+    if override_drop_ratio is not None:
+      drop_ratio = override_drop_ratio
+    elif self.is_training:
+      drop_ratio = self.drop_ratio
+    else:
+      drop_ratio = self.drop_ratio_test
+    if drop_ratio == 0.0:
+      return tokens, jnp.zeros((b, t), jnp.bool_)
+
+    rng = self.make_rng("degradation")
+    cutoff = jax.random.randint(rng, (b,), 1, t)  # s in [1, T-1]
+    t_idx = jnp.arange(t)[None]  # [1, T]
+    masked = t_idx >= cutoff[:, None]  # [B, T]
+    mask_token = jnp.broadcast_to(mask_token, tokens.shape)
+    tokens = jnp.where(masked[:, :, None, None], mask_token, tokens)
+    return tokens, masked
+
+
 class MaskedSequenceDecoder(nn.Module):
   """TAPNext backbone: patch embed + query tokens + ViT-SSM encoder."""
 

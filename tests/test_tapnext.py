@@ -278,3 +278,48 @@ class TestPosembAdaptation:
     np.testing.assert_allclose(
         diffs, diffs.mean(), rtol=0.2
     )
+
+
+class TestTokenSubsampling:
+  """Temporal-suffix token masking (reference ssm_utils.py:67-142)."""
+
+  def _run(self, is_training=True, override=None, seed=0):
+    from tapnet_tpu.models import ssm_vit
+
+    b, t, n, d = 3, 8, 5, 4
+    tokens = jnp.arange(b * t * n * d, dtype=jnp.float32).reshape(
+        b, t, n, d
+    )
+    mask_token = jnp.full((1, 1, 1, d), -1.0)
+    mod = ssm_vit.TokenSubsampling(
+        drop_ratio=0.5, is_training=is_training
+    )
+    return mod.apply(
+        {},
+        tokens,
+        mask_token,
+        override,
+        rngs={"degradation": jax.random.PRNGKey(seed)},
+    ), tokens
+
+  def test_suffix_is_masked(self):
+    (out, masked), tokens = self._run()
+    out, masked = np.asarray(out), np.asarray(masked)
+    for b in range(out.shape[0]):
+      s = masked[b].argmax()
+      assert 1 <= s <= out.shape[1] - 1
+      assert not masked[b, :s].any() and masked[b, s:].all()
+      np.testing.assert_array_equal(out[b, s:], -1.0)
+      np.testing.assert_array_equal(
+          out[b, :s], np.asarray(tokens)[b, :s]
+      )
+
+  def test_eval_mode_is_identity(self):
+    (out, masked), tokens = self._run(is_training=False)
+    assert not np.asarray(masked).any()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(tokens))
+
+  def test_override_zero_disables(self):
+    (out, masked), tokens = self._run(is_training=True, override=0.0)
+    assert not np.asarray(masked).any()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(tokens))
