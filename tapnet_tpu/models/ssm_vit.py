@@ -252,6 +252,13 @@ class SsmVitConfig:
   query_scale: int = 1
   mask_image2image: bool = False
   mask_query2image: bool = False
+  # "bfloat16" runs attention and MLP matmuls in bf16 (params stay fp32;
+  # the RG-LRU recurrence, norms, and heads stay fp32).
+  compute_dtype: str = "float32"
+
+  @property
+  def dtype_mm(self):
+    return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 VARIANTS = {
@@ -336,6 +343,7 @@ class MaskedSequenceDecoder(nn.Module):
         width=cfg.width,
         num_heads=cfg.num_heads,
         mlp_dim=cfg.mlp_dim,
+        dtype_mm=cfg.dtype_mm,
         lru_width=cfg.lru_width,
         bidirectional_ssm=cfg.bidirectional_ssm,
         mask_image2image=cfg.mask_image2image,

@@ -172,8 +172,16 @@ def _scan_fwd_impl(x, a, h0):
         + x[:, 0].astype(jnp.float32)
     )
     return h[:, None].astype(x.dtype), h
-  if _use_pallas():
+  if FORCE_INTERPRET:
     return _scan_pallas(x, a, h0)
+  if _use_pallas():
+    # Select by the platform this trace actually lowers to, not the process
+    # default backend: params are often initialized on the host CPU device
+    # while the default backend is TPU, and the Pallas kernel cannot lower
+    # for CPU.
+    return jax.lax.platform_dependent(
+        x, a, h0, tpu=_scan_pallas, default=_scan_xla
+    )
   return _scan_xla(x, a, h0)
 
 

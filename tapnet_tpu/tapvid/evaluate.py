@@ -29,6 +29,7 @@ def evaluate_dataset(
     query_mode: str,
     max_videos: Optional[int] = None,
     verbose: bool = True,
+    visualization_dir: Optional[str] = None,
 ) -> Mapping[str, float]:
   """Evaluates `predict_fn` over a reader generator.
 
@@ -38,6 +39,9 @@ def evaluate_dataset(
     dataset: generator of {name: example} dicts from tapvid datasets.
     query_mode: "first" or "strided".
     max_videos: optional cap for smoke runs.
+    visualization_dir: if set, writes one painted-track mp4 per video
+      (predictions vs ground truth; reference eval dump mode,
+      supervised_point_prediction.py:853-931).
 
   Returns:
     mean metrics over videos (floats in [0, 1]).
@@ -71,6 +75,21 @@ def evaluate_dataset(
         query_mode=query_mode,
     )
     count += 1
+    if visualization_dir:
+      import os
+
+      from tapnet_tpu.utils import viz
+
+      os.makedirs(visualization_dir, exist_ok=True)
+      video_u8 = ((video + 1.0) * 127.5).astype(np.uint8)
+      viz.write_visualization(
+          video_u8,
+          out["tracks"],
+          pred_occluded,
+          [os.path.join(visualization_dir, f"video_{i:04d}.mp4")],
+          gt_points=example["target_points"],
+          gt_occluded=example["occluded"],
+      )
     for k, v in video_metrics.items():
       sums[k] = sums.get(k, 0.0) + float(np.mean(v))
     if verbose:
@@ -141,6 +160,10 @@ def main():
   )
   parser.add_argument("--query_chunk_size", type=int, default=64)
   parser.add_argument("--output_json", default=None)
+  parser.add_argument(
+      "--visualization_dir", default=None,
+      help="write one painted-track mp4 per evaluated video",
+  )
   args = parser.parse_args()
 
   from tapnet_tpu import inference
@@ -168,7 +191,11 @@ def main():
     )
 
   results = evaluate_dataset(
-      predictor, ds, args.query_mode, max_videos=args.max_videos
+      predictor,
+      ds,
+      args.query_mode,
+      max_videos=args.max_videos,
+      visualization_dir=args.visualization_dir,
   )
   print(tapvid_metrics.latex_table(results))
   print(json.dumps(results, indent=2))

@@ -58,3 +58,29 @@ def test_instance_norm_bf16_stats():
   # fp32 internal stats keep the normalized output sane even for bf16 input.
   assert np.abs(np.asarray(out16)).max() < 10.0
   assert out16.dtype == jnp.float32
+
+
+class TestTapnextBf16:
+  """TAPNext bf16 matmul mode: same params, tolerance on predictions."""
+
+  def test_bf16_close_to_fp32(self):
+    import dataclasses
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    cfg = ssm_vit.variant_config("mu", image_size=(32, 32))
+    model = tapnext.TAPNextTracker(config=cfg)
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(1, 4, 32, 32, 3).astype(np.float32) * 2 - 1)
+    queries = jnp.asarray([[[0.0, 8.0, 8.0], [1.0, 24.0, 16.0]]])
+    params = model.init(jax.random.PRNGKey(0), video, queries)["params"]
+    out32 = model.apply({"params": params}, video, queries)
+
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    out16 = tapnext.TAPNextTracker(config=cfg16).apply(
+        {"params": params}, video, queries
+    )
+    # Positions in a 32px image: bf16 matmuls shift them by well under a px.
+    np.testing.assert_allclose(
+        np.asarray(out32.tracks), np.asarray(out16.tracks), atol=1.0
+    )
+    assert out16.tracks.dtype == jnp.float32

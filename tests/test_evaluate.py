@@ -92,3 +92,33 @@ class TestEvaluateHarness:
     results = evaluate.evaluate_dataset(predictor, ds, "first", verbose=False)
     assert 0.0 <= results["average_jaccard"] <= 1.0
     assert 0.0 <= results["occlusion_accuracy"] <= 1.0
+
+
+class TestVisualizationDump:
+
+  def test_writes_one_mp4_per_video(self, tmp_path):
+    path = make_davis_pickle(tmp_path)
+    ds = list(datasets.create_davis_dataset(path, query_mode="first"))
+
+    def dummy(video, query_points):
+      t = video.shape[1]
+      n = query_points.shape[1]
+      return {
+          "tracks": np.zeros((1, n, t, 2), np.float32) + 8.0,
+          "occlusion": np.full((1, n, t), -10.0, np.float32),
+          "expected_dist": np.full((1, n, t), -10.0, np.float32),
+      }
+
+    out_dir = tmp_path / "viz"
+    evaluate.evaluate_dataset(
+        dummy,
+        ds,
+        "first",
+        verbose=False,
+        visualization_dir=str(out_dir),
+    )
+    import os
+
+    files = sorted(os.listdir(out_dir))
+    assert files == ["video_0000.mp4", "video_0001.mp4"]
+    assert all((out_dir / f).stat().st_size > 0 for f in files)
