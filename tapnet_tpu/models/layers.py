@@ -45,6 +45,16 @@ def layer_norm(x: Array, name: str, use_bias: bool = False) -> Array:
   return nn.LayerNorm(epsilon=1e-5, use_bias=use_bias, name=name)(x)
 
 
+def _scale_only_layer_norm(x: Array, scale: Array, eps: float = 1e-5) -> Array:
+  """Functional scale-only LayerNorm (same math as flax nn.LayerNorm with
+  use_bias=False: fp32 single-pass statistics)."""
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+  out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+  return out.astype(x.dtype)
+
+
 class ConvCache(NamedTuple):
   """Streaming cache for one temporal-mixing block.
 
@@ -70,8 +80,21 @@ class TemporalDepthwiseBlock(nn.Module):
   kernel_size: int = 3
   multiplier: int = 4
   causal: bool = False
+  features: int = 512
 
-  @nn.compact
+  def setup(self):
+    hidden = self.features * self.multiplier
+    self.dw_up = _DepthwiseParams(
+        features=hidden, kernel_size=self.kernel_size, name="dw_up"
+    )
+    self.dw_mix = _DepthwiseParams(
+        features=hidden, kernel_size=self.kernel_size, name="dw_mix"
+    )
+
+  def weights(self):
+    """(w_up, b_up, w_mix, b_mix) in conv layout, for fused kernels."""
+    return self.dw_up() + self.dw_mix()
+
   def __call__(
       self,
       x: Array,
@@ -95,12 +118,9 @@ class TemporalDepthwiseBlock(nn.Module):
     """
     k = self.kernel_size
     c = x.shape[-1]
-    hidden = c * self.multiplier
+    assert c == self.features, (c, self.features)
 
-    dw_up = _DepthwiseParams(features=hidden, kernel_size=k, name="dw_up")
-    dw_mix = _DepthwiseParams(features=hidden, kernel_size=k, name="dw_mix")
-    w_up, b_up = dw_up()
-    w_mix, b_mix = dw_mix()
+    w_up, b_up, w_mix, b_mix = self.weights()
 
     def shifted_fma(v, w, b):
       """VALID depthwise conv over time as sum of k shifted slices.
@@ -214,22 +234,44 @@ class MixerBlock(nn.Module):
       cache: Optional[ConvCache] = None,
       return_cache: bool = False,
   ) -> Tuple[Array, Optional[ConvCache]]:
-    from tapnet_tpu.ops import fused_mlp
+    from tapnet_tpu.ops import fused_mixer_block, fused_mlp
 
     c = x.shape[-1]
-    h = layer_norm(x, "ln_temporal")
-    h, new_cache = TemporalDepthwiseBlock(
-        kernel_size=self.kernel_size, causal=self.causal, name="temporal"
-    )(h, cache, return_cache)
-    x = x + h
-
-    # Channel MLP with pre-LN and residual, as one fused kernel on TPU
-    # (ops/fused_mlp.py): the 4x hidden never round-trips through HBM.
-    # Parameter scopes/shapes match the nn.LayerNorm/nn.Dense they replace.
-    ln_scale = self.param_like_layer_norm("ln_channel", c)
+    ln1_scale = self.param_like_layer_norm("ln_temporal", c)
+    temporal = TemporalDepthwiseBlock(
+        kernel_size=self.kernel_size,
+        causal=self.causal,
+        features=c,
+        name="temporal",
+    )
+    ln2_scale = self.param_like_layer_norm("ln_channel", c)
     w1, b1 = _DenseParams(c, c * self.expansion, name="fc_up")()
     w2, b2 = _DenseParams(c * self.expansion, c, name="fc_down")()
-    return fused_mlp.mlp_block(x, ln_scale, w1, b1, w2, b2), new_cache
+
+    if (
+        fused_mixer_block.ENABLED
+        and cache is None
+        and not return_cache
+        and x.ndim == 3
+    ):
+      # Experimental (gated off by default, see ops/fused_mixer_block.py):
+      # the whole block — both LayerNorms, the temporal conv, and the
+      # channel MLP — as ONE fused Pallas kernel; LN statistics, the 4x
+      # temporal lanes, and the MLP hidden never touch HBM.
+      wu, bu, wm, bm = temporal.weights()
+      y = fused_mixer_block.mixer_block(
+          x, ln1_scale, wu, bu, wm, bm, ln2_scale, w1, b1, w2, b2,
+          self.causal,
+      )
+      return y, None
+
+    h = _scale_only_layer_norm(x, ln1_scale)
+    h, new_cache = temporal(h, cache, return_cache)
+    x = x + h
+
+    # Channel MLP with pre-LN and residual (fused kernel on TPU,
+    # ops/fused_mlp.py).
+    return fused_mlp.mlp_block(x, ln2_scale, w1, b1, w2, b2), new_cache
 
   def param_like_layer_norm(self, name: str, features: int) -> Array:
     """Scale param under `<name>/scale`, identical to scale-only

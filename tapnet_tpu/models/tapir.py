@@ -64,6 +64,11 @@ class TapirConfig:
   # model) — TPU gathers lose to the tent matmuls even at their ~1% MXU
   # utilization. Kept as an option for gather-friendly backends.
   use_gather_tents: bool = False
+  # Fuse the correlation einsum and tent extraction into one Pallas kernel
+  # that never materializes the [B, N, T, H, W] correlation volume in HBM
+  # (ops/corr_tents.py). Falls back to the einsum path off-TPU and for
+  # oversized frames. Only applies to the matmul-corr path.
+  use_fused_corr: bool = True
   feature_extractor_chunk_size: Optional[int] = None
   parallelize_query_extraction: bool = False
   # "bfloat16" runs the backbone, correlation einsums and mixer in bf16 with
@@ -489,6 +494,29 @@ class TAPIR(nn.Module):
     )[..., ::-1]
 
     per_frame_query = query.ndim == 4
+
+    if cfg.use_matmul_corr and cfg.use_fused_corr and not cfg.use_gather_tents:
+      # Fused Pallas path: correlation + tent extraction in one kernel, no
+      # HBM correlation volume (ops/corr_tents.py).
+      from tapnet_tpu.ops import corr_tents
+
+      b, t = grid.shape[:2]
+      n = query.shape[1]
+      grid_bt = grid.reshape((b * t,) + grid.shape[2:]).astype(cfg.dtype)
+      if per_frame_query:
+        q_bt = query.transpose(0, 2, 1, 3)
+      else:
+        q_bt = jnp.broadcast_to(
+            query[:, None], (b, t) + query.shape[1:]
+        )
+      q_bt = q_bt.reshape(b * t, n, -1).astype(cfg.dtype)
+      cyx = coords - 0.5  # [B, N, T, 2] (y, x) index space
+      cy = cyx[..., 0].transpose(0, 2, 1).reshape(b * t, n)
+      cx = cyx[..., 1].transpose(0, 2, 1).reshape(b * t, n)
+      pat = corr_tents.corr_tent_patches(grid_bt, q_bt, cy, cx, p)
+      # [B*T, p, p, N] -> [B, N, T, p*p]
+      pat = pat.reshape(b, t, p, p, n).transpose(0, 4, 1, 2, 3)
+      return pat.reshape(b, n, t, p * p)
 
     if cfg.use_matmul_corr:
       # fp32 accumulation on the MXU, compute-dtype intermediates: the full

@@ -1,0 +1,237 @@
+"""One PIPs-mixer block as a single fused Pallas TPU kernel.
+
+A mixer block (reference: tapnet/models/tapir_model.py:101-124) is
+    x += temporal_depthwise(LN(x));  x += MLP(LN(x))
+At the production refinement shape ([B*N=128 trajectories, T=250, C=512])
+the two LayerNorms, the depthwise temporal conv, and the 4x-wide MLP hidden
+activation are all HBM-bandwidth-bound between the two MXU matmuls: measured
+on v5e, the XLA path spends ~21 ms per 12-block mixer call while a
+matmul-only skeleton of the same shapes takes ~12 ms — 45% of the time is
+elementwise/normalization traffic.
+
+This kernel processes one trajectory row [T, C] per grid step, keeping
+everything (LN statistics, the 4x temporal lanes, the 2048-wide MLP hidden)
+in VMEM: HBM traffic per block drops to one read + one write of x plus the
+(resident) weights. Temporal shifts are lane-masked `pltpu.roll`s along the
+sublane (time) axis — Mosaic cannot lower pad+concat along time.
+
+Numerics: LN statistics and all accumulations in fp32; matmuls accumulate
+fp32 on the MXU; IO and MXU operands in the input dtype (bf16 in
+production); GELU is the tanh approximation, as everywhere else (reference
+parity: tapnet/torch/nets.py:59).
+
+Backward recomputes through `jax.vjp` of the jnp reference, like the other
+fused ops in this package.
+
+STATUS — gated off (ENABLED = False). The kernel is numerically verified in
+interpreter mode, but Mosaic cannot compile it at production shapes: the
+fully-unrolled mult x k temporal-conv structure keeps every [T, C] fp32
+intermediate live, and the register allocator generates ~192 MB of spill
+slots at T=64 (vs 128 MB physical VMEM on v5e) — measured 2026-08-17 via AOT
+compile probe. T=8 compiles, but the temporal conv cannot be tiled over T
+without overlapping block windows, which Pallas BlockSpecs do not express.
+A future formulation should put time on the lane axis (lane rolls are native)
+or split the block at the conv boundary. Until then MixerBlock uses the XLA
+path (21 ms/12-block call at [128, 250, 512] vs a 12 ms matmul skeleton).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+# Test hook: run the kernel in interpreter mode on CPU.
+FORCE_INTERPRET = False
+
+# Production gate: False until the Mosaic register-spill pathology above is
+# resolved. When False, mixer_block still works (it runs the XLA-fused
+# reference formulation on every backend).
+ENABLED = False
+
+_EPS = 1e-5
+
+
+def _fast_ln(x, scale):
+  """Scale-only LayerNorm, fp32 single-pass statistics (E[x^2] - E[x]^2)."""
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+  xn = (xf - mu) * jax.lax.rsqrt(var + _EPS)
+  return (xn * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
+  """Unfused formulation of the full block. x: [B, T, C]."""
+  from tapnet_tpu.ops import depthwise_mixer, fused_mlp
+
+  h = _fast_ln(x, g1)
+  h = depthwise_mixer._math_reference(h, wu, bu, wm, bm, causal)  # pylint: disable=protected-access
+  x = x + h
+  b, t, c = x.shape
+  y = fused_mlp._math_reference(  # pylint: disable=protected-access
+      x.reshape(b * t, c), g2, w1, b1, w2, b2
+  )
+  return y.reshape(b, t, c)
+
+
+def _kernel(
+    x_ref, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, g2_ref, w1_ref, b1_ref,
+    w2_ref, b2_ref, y_ref, *, k, mult, causal, t_real,
+):
+  x = x_ref[0]  # [T_pad, C]; rows >= t_real are zero padding.
+  t, c = x.shape
+
+  # ---- LN 1 (fp32 stats). Zero rows normalize to zero, so padding stays
+  # exactly zero through LN.
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+  xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g1_ref[:].astype(jnp.float32)
+  xn = xn.astype(x.dtype)
+
+  # ---- Temporal depthwise conv -> GELU -> depthwise conv, 4 lanes per
+  # channel folded by summation, fp32 accumulation. Shifted reads
+  # v[tau + d] with zero boundary are fp32 sublane rotates + boundary
+  # masks (Mosaic can lower neither pad+concat along time nor bf16
+  # sublane rotates; unaligned scratch slices compile pathologically).
+  tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+
+  def shifted(v, d):  # v fp32 [T, C]
+    if d == 0:
+      return v
+    r = pltpu.roll(v, (-d) % t, axis=0)
+    mask = (tidx + d >= 0) & (tidx + d < t_real)
+    return jnp.where(mask, r, jnp.zeros_like(r))
+
+  off = k - 1 if causal else (k - 1) // 2
+  wu = wu_ref[:].astype(jnp.float32)  # [k, C, mult]
+  wm = wm_ref[:].astype(jnp.float32)
+  bu = bu_ref[:].astype(jnp.float32)  # [C, mult]
+  bm = bm_ref[:].astype(jnp.float32)
+
+  xn32 = xn.astype(jnp.float32)
+  valid = tidx < t_real
+  acc = jnp.zeros((t, c), jnp.float32) + jnp.sum(bm, axis=-1)
+  for m in range(mult):
+    h = jnp.zeros((t, c), jnp.float32) + bu[:, m]
+    for j in range(k):
+      h = h + shifted(xn32, j - off) * wu[j, :, m]
+    # Mask so padded rows don't leak gelu(bias) into real rows via the
+    # second conv's shifts.
+    hm = jnp.where(valid, jax.nn.gelu(h), 0.0)
+    for j in range(k):
+      acc = acc + shifted(hm, j - off) * wm[j, :, m]
+  x = x + acc.astype(x.dtype)
+
+  # ---- LN 2 + channel MLP + residual.
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+  xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g2_ref[:].astype(jnp.float32)
+  xn = xn.astype(x.dtype)
+  h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+  h = jax.nn.gelu(h + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
+  y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+  y = (y + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+  y_ref[0] = x + y
+
+
+def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
+  b, t_real, c = x.shape
+  k = wu.shape[0]
+  mult = wu.shape[-1] // c
+  hid = w1.shape[1]
+  wu3 = wu.reshape(k, c, mult)
+  wm3 = wm.reshape(k, c, mult)
+  bu2 = bu.reshape(c, mult)
+  bm2 = bm.reshape(c, mult)
+
+  # Pad time to the fp32 sublane multiple; rotates on unaligned sublane
+  # counts are not lowerable.
+  pad_t = -t_real % 8
+  if pad_t:
+    x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+  t = x.shape[1]
+
+  row = lambda i: (i, 0, 0)
+
+  out = pl.pallas_call(
+      functools.partial(
+          _kernel, k=k, mult=mult, causal=causal, t_real=t_real
+      ),
+      grid=(b,),
+      in_specs=[
+          pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+          pl.BlockSpec((k, c, mult), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, mult), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((k, c, mult), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, mult), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+          pl.BlockSpec((hid, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+      # The resident weights (w1/w2: 4 MB bf16 at production C=512) plus the
+      # kernel's fp32 temporaries exceed XLA's default 16 MB scoped-vmem
+      # budget; v5e has 128 MB of physical VMEM.
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=100 * 1024 * 1024,
+      ),
+      interpret=FORCE_INTERPRET,
+  )(x, g1, wu3, bu2, wm3, bm2, g2, w1, b1, w2, b2)
+  return out[:, :t_real] if pad_t else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
+                causal: bool = False):
+  """Fused mixer block: x += dwconv(LN(x)); x += MLP(LN(x)).
+
+  Args:
+    x: [B, T, C] trajectories.
+    g1 / g2: [C] LayerNorm scales (temporal / channel).
+    wu / wm: [k, 1, mult*C] depthwise conv kernels (conv layout).
+    bu / bm: [mult*C] depthwise conv biases.
+    w1: [C, H]; b1: [H]; w2: [H, C]; b2: [C] channel-MLP params.
+    causal: causal (left-only) vs SAME temporal padding.
+
+  Returns:
+    [B, T, C], same dtype as x.
+  """
+  if FORCE_INTERPRET:
+    return _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+  if not ENABLED:
+    return _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+  return jax.lax.platform_dependent(
+      x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
+      tpu=functools.partial(_pallas_forward, causal=causal),
+      default=functools.partial(_math_reference, causal=causal),
+  )
+
+
+def _fwd(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
+  out = mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+  return out, (x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2)
+
+
+def _bwd(causal, res, g):
+  _, vjp = jax.vjp(
+      lambda *args: _math_reference(*args, causal), *res
+  )
+  return vjp(g)
+
+
+mixer_block.defvjp(_fwd, _bwd)

@@ -77,14 +77,21 @@ def benchmark(
 ) -> float:
   """Returns seconds per call of `fn(*args)`, amortizing dispatch latency.
 
-  `fn` must be jittable and return a pytree of arrays. The loop body
-  perturbs EVERY floating-point input by a carry-dependent value that
-  underflows to zero, so each iteration's inputs are runtime-distinct and
-  XLA cannot hoist the computation out of the loop as loop-invariant (it
-  will, silently, if the body closes over fixed inputs — measured times
-  then approximate cost/iters instead of cost). The perturbation costs one
-  extra elementwise pass over the inputs per iteration; for ops that read
-  their inputs anyway this is at most ~2x input traffic and usually noise.
+  `fn` must be jittable and return a pytree of arrays. Two defenses make
+  the loop-in-jit timing honest:
+    * EVERY floating-point input is perturbed by a carry-dependent value
+      that underflows to zero, so each iteration's inputs are
+      runtime-distinct and XLA cannot hoist the computation out of the
+      loop as loop-invariant.
+    * EVERY floating-point output is consumed by a full reduction
+      (jnp.sum), so XLA cannot dead-code-eliminate the bulk of the work.
+      Consuming only one element lets the compiler slice the computation
+      down to what that element needs — elementwise ops then "run" at
+      thousands of GB/s. The reduction costs one extra read of each
+      output per iteration.
+  Both passes are extra memory traffic (~one read of inputs + one of
+  outputs); for compute-dominated ops this is noise, for pure-bandwidth
+  ops measured time is up to ~2x the true cost (a safe overestimate).
   """
 
   @jax.jit
@@ -103,7 +110,7 @@ def benchmark(
       args_i = jax.tree_util.tree_map(bump, args)
       out = fn(*args_i)
       picks = [
-          jnp.ravel(leaf)[0].astype(jnp.float32)
+          jnp.sum(leaf, dtype=jnp.float32)
           for leaf in jax.tree_util.tree_leaves(out)
           if hasattr(leaf, "dtype")
           and jnp.issubdtype(leaf.dtype, jnp.floating)

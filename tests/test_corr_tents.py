@@ -1,0 +1,103 @@
+"""Fused correlation+tent-patch kernel tests: interpreter mode vs the einsum
+reference, equivalence with the model's unfused path, and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapnet_tpu.ops import corr_tents
+
+
+@pytest.fixture
+def force_interpret():
+  corr_tents.FORCE_INTERPRET = True
+  yield
+  corr_tents.FORCE_INTERPRET = False
+
+
+def make_inputs(seed=0, bt=3, h=12, w=10, c=8, n=5):
+  rng = np.random.RandomState(seed)
+  grid = jnp.asarray(rng.randn(bt, h, w, c).astype(np.float32))
+  query = jnp.asarray(rng.randn(bt, n, c).astype(np.float32))
+  # Centers including out-of-bounds (constant-zero boundary must match).
+  cy = jnp.asarray((rng.rand(bt, n) * (h + 6) - 3).astype(np.float32))
+  cx = jnp.asarray((rng.rand(bt, n) * (w + 6) - 3).astype(np.float32))
+  return grid, query, cy, cx
+
+
+class TestCorrTents:
+
+  def test_kernel_matches_einsum(self, force_interpret):
+    args = make_inputs()
+    out = corr_tents._pallas_forward(*args, 7)
+    ref = corr_tents._math_reference(*args, 7)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+  def test_kernel_h_not_multiple_of_slab(self, force_interpret):
+    # H larger than one slab and not a multiple of it.
+    args = make_inputs(seed=1, bt=2, h=corr_tents._H_SLAB + 7, w=9, c=8, n=3)
+    out = corr_tents._pallas_forward(*args, 5)
+    ref = corr_tents._math_reference(*args, 5)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+  def test_reference_matches_bilinear_sampling(self):
+    """Each tent tap equals bilinear interpolation of the correlation map."""
+    grid, query, cy, cx = make_inputs(seed=2, bt=1, n=1)
+    p = 3
+    out = corr_tents._math_reference(grid, query, cy, cx, p)  # [1,p,p,1]
+
+    corr = jnp.einsum("bhwc,bnc->bnhw", grid, query)[0, 0]
+    h, w = corr.shape
+
+    def bilinear(y, x):
+      y0, x0 = int(np.floor(y)), int(np.floor(x))
+      fy, fx = y - y0, x - x0
+      val = 0.0
+      for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+          yy, xx = y0 + dy, x0 + dx
+          if 0 <= yy < h and 0 <= xx < w:
+            val += float(corr[yy, xx]) * wy * wx
+      return val
+
+    for i in range(p):
+      for j in range(p):
+        expect = bilinear(
+            float(cy[0, 0]) + i - (p - 1) / 2,
+            float(cx[0, 0]) + j - (p - 1) / 2,
+        )
+        np.testing.assert_allclose(
+            float(out[0, i, j, 0]), expect, rtol=1e-4, atol=1e-4
+        )
+
+  def test_gradients_flow(self, force_interpret):
+    grid, query, cy, cx = make_inputs(seed=3)
+
+    def loss(grid, query):
+      return jnp.sum(
+          corr_tents.corr_tent_patches(grid, query, cy, cx, 5) ** 2
+      )
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(grid, query)
+    ref_loss = lambda grid, query: jnp.sum(
+        corr_tents._math_reference(grid, query, cy, cx, 5) ** 2
+    )
+    r1, r2 = jax.grad(ref_loss, argnums=(0, 1))(grid, query)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), rtol=1e-4,
+                               atol=1e-4)
+
+  def test_query_padding(self, force_interpret):
+    # n far from the 128 tile: padding must not affect results.
+    args = make_inputs(seed=4, n=130)
+    out = corr_tents._pallas_forward(*args, 3)
+    ref = corr_tents._math_reference(*args, 3)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
