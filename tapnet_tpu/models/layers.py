@@ -226,6 +226,8 @@ class MixerBlock(nn.Module):
   kernel_size: int = 3
   causal: bool = False
   expansion: int = 4
+  # Semantic time length when the caller pre-padded T (see PipsMixer).
+  valid_len: Optional[int] = None
 
   @nn.compact
   def __call__(
@@ -249,19 +251,18 @@ class MixerBlock(nn.Module):
     w2, b2 = _DenseParams(c * self.expansion, c, name="fc_down")()
 
     if (
-        fused_mixer_block.ENABLED
+        fused_mixer_block.wants_fused(x)
         and cache is None
         and not return_cache
-        and x.ndim == 3
     ):
-      # Experimental (gated off by default, see ops/fused_mixer_block.py):
-      # the whole block — both LayerNorms, the temporal conv, and the
-      # channel MLP — as ONE fused Pallas kernel; LN statistics, the 4x
-      # temporal lanes, and the MLP hidden never touch HBM.
+      # Hot path (offline, no streaming state): the whole block — both
+      # LayerNorms, the temporal conv, and the channel MLP — as ONE fused
+      # Pallas kernel; LN statistics, the 4x temporal lanes, and the MLP
+      # hidden never touch HBM (ops/fused_mixer_block.py).
       wu, bu, wm, bm = temporal.weights()
       y = fused_mixer_block.mixer_block(
           x, ln1_scale, wu, bu, wm, bm, ln2_scale, w1, b1, w2, b2,
-          self.causal,
+          self.causal, self.valid_len,
       )
       return y, None
 
@@ -313,7 +314,24 @@ class PipsMixer(nn.Module):
       cache: Optional[MixerCache] = None,
       return_cache: bool = False,
   ) -> Tuple[Array, Optional[MixerCache]]:
+    from tapnet_tpu.ops import fused_mixer_block
+
     x = nn.Dense(self.hidden_dim, name="in_proj")(x)
+
+    # When the fused block kernel is in play, pad T to the fp32 sublane
+    # multiple ONCE for the whole stack (the kernel keeps pad rows exactly
+    # zero, so blocks compose); per-block pad/slice costs ~15% of the
+    # kernel's runtime at T=250.
+    valid_len = None
+    fused_path = (
+        fused_mixer_block.wants_fused(x)
+        and cache is None
+        and not return_cache
+    )
+    if fused_path and x.shape[1] % 8 != 0:
+      valid_len = x.shape[1]
+      x = jnp.pad(x, ((0, 0), (0, -valid_len % 8), (0, 0)))
+
     new_pre, new_mid = [], []
     for i in range(self.num_blocks):
       block_cache = (
@@ -322,11 +340,16 @@ class PipsMixer(nn.Module):
           else None
       )
       x, nc = MixerBlock(
-          kernel_size=self.kernel_size, causal=self.causal, name=f"block_{i}"
+          kernel_size=self.kernel_size,
+          causal=self.causal,
+          valid_len=valid_len,
+          name=f"block_{i}",
       )(x, block_cache, return_cache)
       if return_cache:
         new_pre.append(nc.pre)
         new_mid.append(nc.mid)
+    if valid_len is not None:
+      x = x[:, :valid_len]
     x = layer_norm(x, "ln_out")
     out = nn.Dense(self.output_channels, name="out_proj")(x)
     new_cache = (

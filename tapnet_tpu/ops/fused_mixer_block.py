@@ -23,16 +23,14 @@ parity: tapnet/torch/nets.py:59).
 Backward recomputes through `jax.vjp` of the jnp reference, like the other
 fused ops in this package.
 
-STATUS — gated off (ENABLED = False). The kernel is numerically verified in
-interpreter mode, but Mosaic cannot compile it at production shapes: the
-fully-unrolled mult x k temporal-conv structure keeps every [T, C] fp32
-intermediate live, and the register allocator generates ~192 MB of spill
-slots at T=64 (vs 128 MB physical VMEM on v5e) — measured 2026-08-17 via AOT
-compile probe. T=8 compiles, but the temporal conv cannot be tiled over T
-without overlapping block windows, which Pallas BlockSpecs do not express.
-A future formulation should put time on the lane axis (lane rolls are native)
-or split the block at the conv boundary. Until then MixerBlock uses the XLA
-path (21 ms/12-block call at [128, 250, 512] vs a 12 ms matmul skeleton).
+Register-pressure note: a first formulation unrolled the mult x k
+temporal-conv taps over separate [T, C] fp32 lanes; Mosaic kept every
+unrolled intermediate live and the register allocator generated ~192 MB of
+spill slots at T=64 (vs 128 MB physical VMEM on v5e). The current kernel
+instead widens the hidden to one [T, mult*C] tensor (4 channel-blocks on the
+lane axis), so only the k=3 taps are unrolled and the live set is a handful
+of <=2 MB tensors; the mult fold-back is lane-aligned block slices, not a
+reshape-reduce.
 """
 
 from __future__ import annotations
@@ -49,10 +47,21 @@ Array = jnp.ndarray
 # Test hook: run the kernel in interpreter mode on CPU.
 FORCE_INTERPRET = False
 
-# Production gate: False until the Mosaic register-spill pathology above is
-# resolved. When False, mixer_block still works (it runs the XLA-fused
-# reference formulation on every backend).
-ENABLED = False
+# Production gate. When False, mixer_block still works (it runs the
+# XLA-fused reference formulation on every backend).
+ENABLED = True
+
+# Use the kernel only when the trajectory tensor is big enough that its
+# HBM traffic dominates the (re-)DMA of the ~4 MB resident MLP weights per
+# block invocation; below this XLA wins (measured: [64, 32, 512] bf16 at
+# 256^2/32-frame inference is ~3% faster unfused, [128, 250, 512] at 480p
+# is ~20% faster fused).
+_MIN_FUSED_ELEMENTS = 8 * 1024 * 1024
+
+
+def wants_fused(x) -> bool:
+  """True when `mixer_block` would beat the XLA path for this input."""
+  return bool(ENABLED) and x.ndim == 3 and x.size >= _MIN_FUSED_ELEMENTS
 
 _EPS = 1e-5
 
@@ -66,18 +75,29 @@ def _fast_ln(x, scale):
   return (xn * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
-  """Unfused formulation of the full block. x: [B, T, C]."""
+def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
+                    valid_len=None):
+  """Unfused formulation of the full block. x: [B, T, C].
+
+  With `valid_len`, rows >= valid_len are treated as padding: they are
+  ignored on input and exactly zero on output (matching the kernel, so
+  pre-padded inputs compose across a block stack).
+  """
   from tapnet_tpu.ops import depthwise_mixer, fused_mlp
 
+  t_full = x.shape[1]
+  if valid_len is not None and valid_len != t_full:
+    x = x[:, :valid_len]
   h = _fast_ln(x, g1)
   h = depthwise_mixer._math_reference(h, wu, bu, wm, bm, causal)  # pylint: disable=protected-access
   x = x + h
   b, t, c = x.shape
   y = fused_mlp._math_reference(  # pylint: disable=protected-access
       x.reshape(b * t, c), g2, w1, b1, w2, b2
-  )
-  return y.reshape(b, t, c)
+  ).reshape(b, t, c)
+  if t != t_full:
+    y = jnp.pad(y, ((0, 0), (0, t_full - t), (0, 0)))
+  return y
 
 
 def _kernel(
@@ -95,14 +115,14 @@ def _kernel(
   xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g1_ref[:].astype(jnp.float32)
   xn = xn.astype(x.dtype)
 
-  # ---- Temporal depthwise conv -> GELU -> depthwise conv, 4 lanes per
-  # channel folded by summation, fp32 accumulation. Shifted reads
-  # v[tau + d] with zero boundary are fp32 sublane rotates + boundary
-  # masks (Mosaic can lower neither pad+concat along time nor bf16
-  # sublane rotates; unaligned scratch slices compile pathologically).
+  # ---- Temporal depthwise conv -> GELU -> depthwise conv; the mult
+  # hidden lanes live as ONE [T, mult*C] tensor (mult channel-blocks along
+  # lanes), so only the k taps are unrolled. Shifted reads v[tau + d] with
+  # zero boundary are fp32 sublane rotates + boundary masks (Mosaic can
+  # lower neither pad+concat along time nor bf16 sublane rotates).
   tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
 
-  def shifted(v, d):  # v fp32 [T, C]
+  def shifted(v, d):  # v fp32 [T, ...]
     if d == 0:
       return v
     r = pltpu.roll(v, (-d) % t, axis=0)
@@ -110,24 +130,25 @@ def _kernel(
     return jnp.where(mask, r, jnp.zeros_like(r))
 
   off = k - 1 if causal else (k - 1) // 2
-  wu = wu_ref[:].astype(jnp.float32)  # [k, C, mult]
-  wm = wm_ref[:].astype(jnp.float32)
-  bu = bu_ref[:].astype(jnp.float32)  # [C, mult]
-  bm = bm_ref[:].astype(jnp.float32)
-
+  # Weights come in m-major flat layout [k, mult*C] / [mult*C] (see
+  # _pallas_forward), matching xn tiled mult times along lanes.
   xn32 = xn.astype(jnp.float32)
+  xr = jnp.concatenate([xn32] * mult, axis=-1)  # [T, mult*C]
+  h = jnp.zeros((t, mult * c), jnp.float32) + bu_ref[:].astype(jnp.float32)
+  for j in range(k):
+    h = h + shifted(xr, j - off) * wu_ref[j].astype(jnp.float32)
+  # Mask so padded rows don't leak gelu(bias) into real rows via the
+  # second conv's shifts.
   valid = tidx < t_real
-  acc = jnp.zeros((t, c), jnp.float32) + jnp.sum(bm, axis=-1)
+  hm = jnp.where(valid, jax.nn.gelu(h), 0.0)
+  acc = jnp.zeros((t, mult * c), jnp.float32)
+  for j in range(k):
+    acc = acc + shifted(hm, j - off) * wm_ref[j].astype(jnp.float32)
+  # Fold the mult channel-blocks back to [T, C] with lane-aligned slices.
+  folded = bm_ref[:].astype(jnp.float32)
   for m in range(mult):
-    h = jnp.zeros((t, c), jnp.float32) + bu[:, m]
-    for j in range(k):
-      h = h + shifted(xn32, j - off) * wu[j, :, m]
-    # Mask so padded rows don't leak gelu(bias) into real rows via the
-    # second conv's shifts.
-    hm = jnp.where(valid, jax.nn.gelu(h), 0.0)
-    for j in range(k):
-      acc = acc + shifted(hm, j - off) * wm[j, :, m]
-  x = x + acc.astype(x.dtype)
+    folded = folded + acc[:, m * c : (m + 1) * c]
+  x = x + folded.astype(x.dtype)
 
   # ---- LN 2 + channel MLP + residual.
   xf = x.astype(jnp.float32)
@@ -139,22 +160,32 @@ def _kernel(
   h = jax.nn.gelu(h + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
   y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
   y = (y + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
-  y_ref[0] = x + y
+  # Keep padding rows exactly zero so pre-padded inputs compose across a
+  # block stack (the stack pads T once instead of per block).
+  y_ref[0] = jnp.where(valid, x + y, jnp.zeros_like(x))
 
 
-def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
+def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
+                    valid_len=None):
   b, t_real, c = x.shape
+  if valid_len is not None:
+    t_real = valid_len
   k = wu.shape[0]
   mult = wu.shape[-1] // c
   hid = w1.shape[1]
-  wu3 = wu.reshape(k, c, mult)
-  wm3 = wm.reshape(k, c, mult)
-  bu2 = bu.reshape(c, mult)
-  bm2 = bm.reshape(c, mult)
+  # m-major flat layouts matching the kernel's [T, mult*C] hidden (channel
+  # block m occupies lanes [m*C, (m+1)*C)); conv layout is c-major
+  # (flat index c*mult + m), hence the transpose.
+  wu2 = wu.reshape(k, c, mult).transpose(0, 2, 1).reshape(k, mult * c)
+  wm2 = wm.reshape(k, c, mult).transpose(0, 2, 1).reshape(k, mult * c)
+  bu1 = bu.reshape(c, mult).T.reshape(mult * c)
+  bm1 = bm.reshape(c, mult).sum(axis=-1)  # lanes summed -> one [C] bias
 
   # Pad time to the fp32 sublane multiple; rotates on unaligned sublane
-  # counts are not lowerable.
-  pad_t = -t_real % 8
+  # counts are not lowerable. (A caller that pre-pads the stack passes
+  # t % 8 == 0 plus valid_len, making this a no-op.)
+  t_orig = x.shape[1]
+  pad_t = -t_orig % 8
   if pad_t:
     x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
   t = x.shape[1]
@@ -169,12 +200,12 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
       in_specs=[
           pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
           pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((k, c, mult), lambda i: (0, 0, 0),
+          pl.BlockSpec((k, mult * c), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((c, mult), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((k, c, mult), lambda i: (0, 0, 0),
+          pl.BlockSpec((mult * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+          pl.BlockSpec((k, mult * c), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((c, mult), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
           pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
           pl.BlockSpec((c, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
           pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -191,13 +222,13 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
           vmem_limit_bytes=100 * 1024 * 1024,
       ),
       interpret=FORCE_INTERPRET,
-  )(x, g1, wu3, bu2, wm3, bm2, g2, w1, b1, w2, b2)
-  return out[:, :t_real] if pad_t else out
+  )(x, g1, wu2, bu1, wm2, bm1, g2, w1, b1, w2, b2)
+  return out[:, :t_orig] if pad_t else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
-                causal: bool = False):
+                causal: bool = False, valid_len=None):
   """Fused mixer block: x += dwconv(LN(x)); x += MLP(LN(x)).
 
   Args:
@@ -207,29 +238,40 @@ def mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
     bu / bm: [mult*C] depthwise conv biases.
     w1: [C, H]; b1: [H]; w2: [H, C]; b2: [C] channel-MLP params.
     causal: causal (left-only) vs SAME temporal padding.
+    valid_len: if set, rows >= valid_len are padding — ignored on input,
+      exactly zero on output. Lets a block stack pad T to the sublane
+      multiple once instead of per block.
 
   Returns:
     [B, T, C], same dtype as x.
   """
   if FORCE_INTERPRET:
-    return _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+    return _pallas_forward(
+        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+    )
   if not ENABLED:
-    return _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+    return _math_reference(
+        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+    )
   return jax.lax.platform_dependent(
       x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
-      tpu=functools.partial(_pallas_forward, causal=causal),
-      default=functools.partial(_math_reference, causal=causal),
+      tpu=functools.partial(_pallas_forward, causal=causal,
+                            valid_len=valid_len),
+      default=functools.partial(_math_reference, causal=causal,
+                                valid_len=valid_len),
   )
 
 
-def _fwd(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal):
-  out = mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal)
+def _fwd(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len):
+  out = mixer_block(
+      x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+  )
   return out, (x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2)
 
 
-def _bwd(causal, res, g):
+def _bwd(causal, valid_len, res, g):
   _, vjp = jax.vjp(
-      lambda *args: _math_reference(*args, causal), *res
+      lambda *args: _math_reference(*args, causal, valid_len), *res
   )
   return vjp(g)
 

@@ -78,6 +78,30 @@ class TestFusedMixerBlock:
         np.asarray(out_flax), np.asarray(out_ref), rtol=1e-4, atol=1e-4
     )
 
+  def test_prepadded_stack_composes(self, force_interpret):
+    """Pre-padded input + valid_len across a 3-block stack equals running
+    each block unpadded (the PipsMixer pad-once path)."""
+    t_real = 13
+    stacks = [make_inputs(seed=10 + i, t=t_real) for i in range(3)]
+    x = stacks[0][0]
+
+    # Unpadded reference: chain the math reference.
+    ref = x
+    for args in stacks:
+      ref = fmb._math_reference(ref, *args[1:], False)
+
+    # Padded kernel chain with valid_len.
+    pad = -t_real % 8
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    out = xp
+    for args in stacks:
+      out = fmb._pallas_forward(out, *args[1:], False, valid_len=t_real)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :t_real]), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+    # Pad rows stay exactly zero.
+    assert np.all(np.asarray(out[:, t_real:]) == 0)
+
   def test_gradients_flow(self, force_interpret):
     args = make_inputs(seed=3)
 
