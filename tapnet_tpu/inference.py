@@ -15,7 +15,7 @@ and exposes jitted tracking calls. Designed for TPU serving:
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping, Optional, Sequence, Tuple
+from typing import Any, Iterable, Iterator, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,58 @@ class TapirPredictor:
             jnp.asarray(out["occlusion"]), jnp.asarray(out["expected_dist"])
         )
     )
+
+  def track_many(
+      self, inputs: Iterable[Tuple[Array, Array]]
+  ) -> Iterator[Mapping[str, np.ndarray]]:
+    """Pipelined multi-video tracking: yields one result dict per
+    (video, query_points) item, in order.
+
+    Dispatch is asynchronous, so while the device tracks video i the host
+    is already decoding / transferring video i+1 (double-buffered ingest —
+    the host->device copy and the next item's preparation overlap the
+    current item's compute). Results are materialized to numpy one step
+    behind the dispatch, which is when the device work has typically
+    already finished.
+
+    Shapes are bucketed per `query_bucket` / `frame_bucket`, so feeding
+    videos of aligned lengths avoids recompiles.
+    """
+
+    def _dispatch(video, query_points):
+      video = jnp.asarray(video)
+      query_points = jnp.asarray(query_points, jnp.float32)
+      b, n = query_points.shape[:2]
+      t = video.shape[1]
+      n_pad = _round_up(max(n, 1), self.query_bucket)
+      if n_pad != n:
+        pad = jnp.zeros((b, n_pad - n, 3), query_points.dtype)
+        query_points = jnp.concatenate([query_points, pad], axis=1)
+      t_pad = t
+      if self.frame_bucket is not None:
+        t_pad = _round_up(t, self.frame_bucket)
+      if t_pad != t:
+        tail = jnp.repeat(video[:, -1:], t_pad - t, axis=1)
+        video = jnp.concatenate([video, tail], axis=1)
+      chunk = self.query_chunk_size or n_pad
+      out = self._jitted_forward(video, query_points, min(chunk, n_pad))
+      return out, n, t
+
+    def _materialize(out, n, t):
+      return {
+          "tracks": np.asarray(out["tracks"][:, :n, :t]),
+          "occlusion": np.asarray(out["occlusion"][:, :n, :t]),
+          "expected_dist": np.asarray(out["expected_dist"][:, :n, :t]),
+      }
+
+    pending = None
+    for video, query_points in inputs:
+      dispatched = _dispatch(video, query_points)
+      if pending is not None:
+        yield _materialize(*pending)
+      pending = dispatched
+    if pending is not None:
+      yield _materialize(*pending)
 
 
 class TapnextPredictor:
