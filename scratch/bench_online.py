@@ -67,7 +67,12 @@ def bench_causal_tapir():
 
 
 def bench_tapnext():
-  cfg = ssm_vit.SsmVitConfig()
+  # NOTE: params must be ARGUMENTS of the jitted functions, not closures —
+  # closed-over arrays are inlined into the serialized HLO as constants
+  # (ViT-B: ~400 MB, which breaks remote compile outright).
+  import time
+
+  cfg = ssm_vit.SsmVitConfig(compute_dtype="bfloat16")
   model = tapnext.TAPNextTracker(config=cfg)
   rng = np.random.RandomState(0)
   frames0 = jnp.asarray(rng.rand(1, 1, RES, RES, 3), jnp.float32)
@@ -78,20 +83,39 @@ def bench_tapnext():
   with jax.default_device(cpu):
     params = model.init(jax.random.PRNGKey(0), frames0, qp)["params"]
   params = jax.device_put(params, jax.devices()[0])
+  steps = 20
 
-  res0 = model.apply({"params": params}, frames0, qp,
-                     method=tapnext.TAPNextTracker.forward_step)
-  state = res0.state
-
-  def step(frame, state):
-    res = model.apply({"params": params}, frame, None, None, state,
+  @jax.jit
+  def init_fn(params, frames, qp):
+    res = model.apply({"params": params}, frames, qp,
                       method=tapnext.TAPNextTracker.forward_step)
-    return res.tracks, res.visible_logits, res.state
+    return res.state
 
-  t = profiling.benchmark(step, frames0, state, iters_per_measure=20)
+  @jax.jit
+  def rollout(params, frame, state):
+    def step(carry, _):
+      state, f = carry
+      res = model.apply({"params": params}, f, None, None, state,
+                        method=tapnext.TAPNextTracker.forward_step)
+      # Perturbation that underflows to zero keeps the body loop-variant.
+      f2 = f + jnp.float32(1e-45) * jnp.sum(res.tracks).astype(jnp.float32)
+      return (res.state, f2), res.tracks
+    (state, _), tracks = jax.lax.scan(
+        step, (state, frame), None, length=steps)
+    return tracks
+
+  state = init_fn(params, frames0, qp)
+  out = rollout(params, frames0, state)
+  jax.block_until_ready(out)
+  best = 1e9
+  for _ in range(3):
+    t0 = time.perf_counter()
+    out = rollout(params, frames0, state)
+    jax.block_until_ready(out)
+    best = min(best, (time.perf_counter() - t0) / steps)
   print(f"TAPNext online {N_POINTS:3d} pts @{RES}^2: "
-        f"{t*1e3:7.2f} ms/frame  ({1/t:6.1f} fps, "
-        f"{N_POINTS/t:9.0f} points-frames/s)", flush=True)
+        f"{best*1e3:7.2f} ms/frame  ({1/best:6.1f} fps, "
+        f"{N_POINTS/best:9.0f} points-frames/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -100,10 +100,14 @@ class TapirPredictor:
     )
 
   @functools.cached_property
-  def _jitted_forward(self):
-    def fwd(video, query_points, chunk):
+  def _jitted_forward_impl(self):
+    # Params are an explicit argument (not a closure): closed-over arrays
+    # are baked into the lowered module as constants, which bloats the
+    # serialized HLO by the full parameter size and defeats the
+    # compilation cache.
+    def fwd(params, video, query_points, chunk):
       return self.model.apply(
-          {"params": self.params},
+          {"params": params},
           video,
           query_points,
           query_chunk_size=chunk,
@@ -111,17 +115,23 @@ class TapirPredictor:
       )
 
     if self.mesh is None:
-      return jax.jit(fwd, static_argnums=(2,))
+      return jax.jit(fwd, static_argnums=(3,))
+
+    from jax.sharding import NamedSharding, PartitionSpec
 
     from tapnet_tpu.parallel import mesh as mesh_lib
 
     video_s, query_s, out_s = mesh_lib.inference_shardings(self.mesh)
+    replicated = NamedSharding(self.mesh, PartitionSpec())
     return jax.jit(
         fwd,
-        static_argnums=(2,),
-        in_shardings=(video_s, query_s),
+        static_argnums=(3,),
+        in_shardings=(replicated, video_s, query_s),
         out_shardings=out_s,
     )
+
+  def _jitted_forward(self, video, query_points, chunk):
+    return self._jitted_forward_impl(self.params, video, query_points, chunk)
 
   def __call__(
       self, video: Array, query_points: Array
@@ -251,9 +261,11 @@ class TapnextPredictor:
 
   @functools.cached_property
   def _jitted_forward(self):
+    # Params as an argument, not a closure (closure arrays become inlined
+    # HLO constants — a ViT-B adds ~400 MB to the serialized module).
     @jax.jit
-    def fwd(video, query_points):
-      out = self.model.apply({"params": self.params}, video, query_points)
+    def fwd(params, video, query_points):
+      out = self.model.apply({"params": params}, video, query_points)
       return out.tracks, out.visible_logits
 
     return fwd
@@ -269,7 +281,9 @@ class TapnextPredictor:
       if n_pad != n:
         pad = jnp.zeros((b, n_pad - n, 3), query_points.dtype)
         query_points = jnp.concatenate([query_points, pad], axis=1)
-    tracks_yx, visible_logits = self._jitted_forward(video, query_points)
+    tracks_yx, visible_logits = self._jitted_forward(
+        self.params, video, query_points
+    )
     tracks_xy = np.asarray(tracks_yx)[:, :n, :, ::-1]
     occ_logits = -np.asarray(visible_logits)[:, :n, :, 0]
     return {
@@ -296,10 +310,12 @@ class OnlineTapnextPredictor:
   def _jitted_init(self):
     from tapnet_tpu.models import tapnext
 
+    # Params as an argument, not a closure (closure arrays become inlined
+    # HLO constants — a ViT-B adds ~400 MB to the serialized module).
     @jax.jit
-    def f(frames, query_points):
+    def f(params, frames, query_points):
       res = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frames,
           query_points,
           method=tapnext.TAPNextTracker.forward_step,
@@ -313,9 +329,9 @@ class OnlineTapnextPredictor:
     from tapnet_tpu.models import tapnext
 
     @jax.jit
-    def f(frame, state):
+    def f(params, frame, state):
       res = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frame,
           None,
           None,
@@ -329,7 +345,8 @@ class OnlineTapnextPredictor:
   def init(self, frames: Array, query_points: Array):
     """frames [B, T0, H, W, 3]; query_points [B, Q, 3] (t, y, x)."""
     tracks, vis, self._state = self._jitted_init(
-        jnp.asarray(frames), jnp.asarray(query_points, jnp.float32)
+        self.params, jnp.asarray(frames),
+        jnp.asarray(query_points, jnp.float32)
     )
     return np.asarray(tracks), np.asarray(vis)
 
@@ -340,7 +357,9 @@ class OnlineTapnextPredictor:
     frame = jnp.asarray(frame)
     if frame.ndim == 4:
       frame = frame[:, None]
-    tracks, vis, self._state = self._jitted_step(frame, self._state)
+    tracks, vis, self._state = self._jitted_step(
+        self.params, frame, self._state
+    )
     return np.asarray(tracks[:, :, 0]), np.asarray(vis[:, :, 0, 0] > 0)
 
 
@@ -372,16 +391,18 @@ class OnlineTapirPredictor:
 
   @functools.cached_property
   def _jitted_init(self):
+    # Params as an argument, not a closure (closure arrays become inlined
+    # HLO constants in the serialized module).
     @jax.jit
-    def init_fn(frame, query_points):
+    def init_fn(params, frame, query_points):
       """frame: [B, 1, H, W, 3]; query_points: [B, N, 3] (t, y, x)."""
       grids = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frame,
           method=tapir_lib.TAPIR.get_feature_grids,
       )
       qf = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frame.shape,
           query_points,
           grids,
@@ -394,14 +415,14 @@ class OnlineTapirPredictor:
   @functools.cached_property
   def _jitted_predict(self):
     @jax.jit
-    def predict_fn(frame, query_features, state):
+    def predict_fn(params, frame, query_features, state):
       grids = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frame,
           method=tapir_lib.TAPIR.get_feature_grids,
       )
       out = self.model.apply(
-          {"params": self.params},
+          {"params": params},
           frame.shape[-3:-1],
           grids,
           query_features,
@@ -426,7 +447,9 @@ class OnlineTapirPredictor:
     if frame.ndim == 4:
       frame = frame[:, None]
     query_points = jnp.asarray(query_points, jnp.float32)
-    self._query_features = self._jitted_init(frame, query_points)
+    self._query_features = self._jitted_init(
+        self.params, frame, query_points
+    )
     b, n = query_points.shape[:2]
     self._state = self.model.apply(
         {"params": self.params},
@@ -445,7 +468,7 @@ class OnlineTapirPredictor:
     if frame.ndim == 4:
       frame = frame[:, None]
     tracks, visibles, self._state = self._jitted_predict(
-        frame, self._query_features, self._state
+        self.params, frame, self._query_features, self._state
     )
     return np.asarray(tracks[..., 0, :]), np.asarray(visibles[..., 0])
 
@@ -455,7 +478,9 @@ class OnlineTapirPredictor:
     frame = jnp.asarray(frame)
     if frame.ndim == 4:
       frame = frame[:, None]
-    new_qf = self._jitted_init(frame, jnp.asarray(query_points, jnp.float32))
+    new_qf = self._jitted_init(
+        self.params, frame, jnp.asarray(query_points, jnp.float32)
+    )
     b = query_points.shape[0]
     fresh = self.model.apply(
         {"params": self.params},
