@@ -250,7 +250,15 @@ class TapnextPredictor:
       params: Mapping[str, Any],
       config=None,
       query_bucket: Optional[int] = None,
+      chunk_size: Optional[int] = None,
   ):
+    """chunk_size: if set, videos longer than this are processed in
+    time-chunks with the SSM cache carried across chunks — mathematically
+    identical to the full-sequence forward (the temporal mixer is exactly
+    recurrent; attention is per-frame), but with activation memory bounded
+    by the chunk. Required for long videos: the full-T forward holds
+    per-layer [T, tokens, mlp_dim] activations (1024 frames of ViT-B
+    would need ~27 GB for one MLP hidden)."""
     from tapnet_tpu.models import ssm_vit, tapnext
 
     self.model = tapnext.TAPNextTracker(
@@ -258,6 +266,7 @@ class TapnextPredictor:
     )
     self.params = params
     self.query_bucket = query_bucket
+    self.chunk_size = chunk_size
 
   @functools.cached_property
   def _jitted_forward(self):
@@ -270,6 +279,59 @@ class TapnextPredictor:
 
     return fwd
 
+  @functools.cached_property
+  def _jitted_warmup(self):
+    from tapnet_tpu.models import tapnext
+
+    @jax.jit
+    def f(params, frames, query_points):
+      res = self.model.apply(
+          {"params": params}, frames, query_points,
+          method=tapnext.TAPNextTracker.forward_step,
+      )
+      return res.tracks, res.visible_logits, res.state
+
+    return f
+
+  @functools.cached_property
+  def _jitted_chunk(self):
+    from tapnet_tpu.models import tapnext
+
+    @jax.jit
+    def f(params, frames, state):
+      res = self.model.apply(
+          {"params": params}, frames, None, None, state,
+          method=tapnext.TAPNextTracker.forward_step,
+      )
+      return res.tracks, res.visible_logits, res.state
+
+    return f
+
+  def _forward_chunked(self, video, query_points):
+    """Time-chunked forward with the recurrent state carried; returns the
+    same (tracks, visible_logits) as the full-sequence forward."""
+    c = self.chunk_size
+    t = video.shape[1]
+    pad_t = -t % c
+    if pad_t:
+      tail = jnp.repeat(video[:, -1:], pad_t, axis=1)
+      video = jnp.concatenate([video, tail], axis=1)
+    tracks, vis, state = self._jitted_warmup(
+        self.params, video[:, :c], query_points
+    )
+    tracks_all, vis_all = [tracks], [vis]
+    for start in range(c, video.shape[1], c):
+      tracks, vis, state = self._jitted_chunk(
+          self.params, video[:, start : start + c], state
+      )
+      tracks_all.append(tracks)
+      vis_all.append(vis)
+    # Chunks come back [B, Q, T_c, ...] (the offline convention already);
+    # concatenate over time and drop tail padding.
+    tracks = jnp.concatenate(tracks_all, axis=2)[:, :, :t]
+    vis = jnp.concatenate(vis_all, axis=2)[:, :, :t]
+    return tracks, vis
+
   def __call__(
       self, video: Array, query_points: Array
   ) -> Mapping[str, np.ndarray]:
@@ -281,9 +343,12 @@ class TapnextPredictor:
       if n_pad != n:
         pad = jnp.zeros((b, n_pad - n, 3), query_points.dtype)
         query_points = jnp.concatenate([query_points, pad], axis=1)
-    tracks_yx, visible_logits = self._jitted_forward(
-        self.params, video, query_points
-    )
+    if self.chunk_size is not None and video.shape[1] > self.chunk_size:
+      tracks_yx, visible_logits = self._forward_chunked(video, query_points)
+    else:
+      tracks_yx, visible_logits = self._jitted_forward(
+          self.params, video, query_points
+      )
     tracks_xy = np.asarray(tracks_yx)[:, :n, :, ::-1]
     occ_logits = -np.asarray(visible_logits)[:, :n, :, 0]
     return {

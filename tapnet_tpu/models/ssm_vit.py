@@ -321,6 +321,41 @@ class TokenSubsampling(nn.Module):
     return tokens, masked
 
 
+class _PatchEmbed(nn.Module):
+  """Patch embedding as reshape + matmul.
+
+  Mathematically the non-overlapping patch conv (stride == kernel), with
+  an identical parameter tree to `nn.Conv` (kernel [1, ph, pw, 3, width],
+  bias [width]) so checkpoints are interchangeable. The matmul form
+  matters on TPU: a conv whose input has 3 minor-dim channels makes XLA
+  materialize a layout copy of the whole video padded from 3 to 128
+  lanes — a 42x blowup that OOMs HBM at 1024 frames. Patchifying by
+  reshape first gives a [..., ph*pw*3] tensor with benign padding and
+  puts the contraction (192+) on the MXU.
+  """
+
+  width: int
+  patch_size: Tuple[int, int, int]
+
+  @nn.compact
+  def __call__(self, video: Array) -> Array:
+    _, ph, pw = self.patch_size
+    b, t, h, w, cin = video.shape
+    kernel = self.param(
+        "kernel",
+        nn.initializers.lecun_normal(),
+        (1, ph, pw, cin, self.width),
+    )
+    bias = self.param("bias", nn.initializers.zeros, (self.width,))
+    x = video.reshape(b, t, h // ph, ph, w // pw, pw, cin)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        b, t, h // ph, w // pw, ph * pw * cin
+    )
+    return (
+        jnp.dot(x, kernel.reshape(ph * pw * cin, self.width)) + bias
+    )
+
+
 class MaskedSequenceDecoder(nn.Module):
   """TAPNext backbone: patch embed + query tokens + ViT-SSM encoder."""
 
@@ -328,11 +363,9 @@ class MaskedSequenceDecoder(nn.Module):
 
   def setup(self):
     cfg = self.config
-    self.lin_proj = nn.Conv(
-        cfg.width,
-        cfg.patch_size,
-        strides=cfg.patch_size,
-        padding="VALID",
+    self.lin_proj = _PatchEmbed(
+        width=cfg.width,
+        patch_size=cfg.patch_size,
         name="embedding",
     )
     h = cfg.image_size[0] // cfg.patch_size[1]

@@ -86,9 +86,11 @@ def track_many_points(
   query_ts = query_points[:, 0].astype(np.int32)
 
   # --- Query feature extraction, one pass per distinct source frame, with
-  # results scattered into shared [1, N, C] banks.
+  # results scattered into shared [1, N, C] banks. Params are jit
+  # arguments, not closures — closed-over arrays are inlined into the
+  # lowered module as constants.
   @jax.jit
-  def frame_query_features(frame, pts):
+  def frame_query_features(params, frame, pts):
     grids = model.apply(
         {"params": params},
         frame,
@@ -108,6 +110,7 @@ def track_many_points(
     pts = query_points[sel].copy()
     pts[:, 0] = 0.0  # relative to the single frame
     qf = frame_query_features(
+        params,
         jnp.asarray(video_f[None, frame_id : frame_id + 1]),
         jnp.asarray(pts[None]),
     )
@@ -135,7 +138,7 @@ def track_many_points(
 
   # --- Stream the video once, tracking all points.
   @jax.jit
-  def step(frame, qf, state):
+  def step(params, frame, qf, state):
     grids = model.apply(
         {"params": params},
         frame,
@@ -170,7 +173,7 @@ def track_many_points(
   all_tracks, all_visible = [], []
   for fr in range(t):
     tracks, visible, state = step(
-        jnp.asarray(video_f[None, fr : fr + 1]), qf_accum, state
+        params, jnp.asarray(video_f[None, fr : fr + 1]), qf_accum, state
     )
     all_tracks.append(np.asarray(tracks[0, :, 0]))
     all_visible.append(np.asarray(visible[0, :, 0]))

@@ -55,6 +55,38 @@ class TestTrackMany:
           out["occlusion"], ref["occlusion"], atol=1e-5
       )
 
+  def test_tapnext_chunked_matches_full(self):
+    """Time-chunked TAPNext (SSM cache carried across chunks) equals the
+    full-sequence forward."""
+    from tapnet_tpu.models import ssm_vit
+    from tapnet_tpu.models import tapnext as tn
+
+    cfg = ssm_vit.SsmVitConfig(
+        width=32, depth=1, mlp_dim=64, num_heads=2,
+        patch_size=(1, 16, 16), image_size=(64, 64),
+    )
+    model = tn.TAPNextTracker(config=cfg)
+    r = np.random.RandomState(0)
+    video = jnp.asarray(r.rand(1, 10, 64, 64, 3), jnp.float32)
+    # Queries in both the first and a later chunk.
+    qp = jnp.asarray(
+        np.stack([np.array([0.0, 2.0, 6.0, 9.0]), r.rand(4) * 64,
+                  r.rand(4) * 64], -1)[None],
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), video[:, :2], qp)["params"]
+
+    full = inference.TapnextPredictor(params, cfg)(video, qp)
+    chunked = inference.TapnextPredictor(params, cfg, chunk_size=4)(
+        video, qp
+    )
+    np.testing.assert_allclose(
+        chunked["tracks"], full["tracks"], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        chunked["occlusion"], full["occlusion"], rtol=1e-4, atol=2e-4
+    )
+
   def test_empty_iterable(self):
     cfg = small_config()
     model = tapir_lib.TAPIR(config=cfg)
