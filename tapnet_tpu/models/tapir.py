@@ -357,19 +357,23 @@ class TAPIR(nn.Module):
 
     lowres, hires, resolutions = [], [], []
     cached: Dict[Tuple[int, int], Tuple[Array, Array]] = {}
+    # One cast up front: the per-resolution resizes then run in the compute
+    # dtype (bf16 in production), halving resize traffic over the full
+    # video instead of casting each resized copy separately.
+    video_c = video.astype(cfg.dtype)
     for resolution in all_resolutions:
       if resolution[0] % 8 != 0 or resolution[1] % 8 != 0:
         raise ValueError("Image resolution must be a multiple of 8.")
       if resolution not in cached:
         if resolution == tuple(video.shape[2:4]):
-          resized = video
+          resized = video_c
         else:
           resized = jax.image.resize(
-              video,
+              video_c,
               video.shape[0:2] + resolution + (3,),
               method="bilinear",
           )
-        latent, hi = self._backbone_features(resized.astype(cfg.dtype))
+        latent, hi = self._backbone_features(resized)
         cached[resolution] = (_l2_normalize(latent), _l2_normalize(hi))
       lo, hi = cached[resolution]
       lowres.append(lo)
