@@ -20,6 +20,8 @@ QUERIES = int(os.environ.get("QUERIES", 1024))
 RES = int(os.environ.get("RES", 480))
 CHUNK = int(os.environ.get("CHUNK", 128))
 TRACE = os.environ.get("TRACE", "")
+# REFRES=480 -> refinement at [(480, 480)] only (the speed/quality knob).
+REFRES = os.environ.get("REFRES", "")
 
 
 def main():
@@ -54,8 +56,10 @@ def main():
 
   @jax.jit
   def forward(video, query_points):
+    rr = [(int(REFRES), int(REFRES))] if REFRES else None
     out = model.apply(
-        {"params": params}, video, query_points, query_chunk_size=CHUNK
+        {"params": params}, video, query_points, query_chunk_size=CHUNK,
+        refinement_resolutions=rr,
     )
     return out["tracks"], out["occlusion"], out["expected_dist"]
 
