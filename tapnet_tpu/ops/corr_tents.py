@@ -164,14 +164,25 @@ def _pallas_forward(grid, query, cy, cx, p):
           memory_space=pltpu.VMEM,
       ),
       out_shape=jax.ShapeDtypeStruct((bt, p, p, np_), jnp.float32),
+      # The frame grid block (up to ~_MAX_FRAME_BYTES, double-buffered)
+      # plus slab intermediates exceed the 16 MB default scoped-vmem
+      # budget for >480p frames; v5e has 128 MB physical VMEM.
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary", "arbitrary"),
+          vmem_limit_bytes=100 * 1024 * 1024,
+      ),
       interpret=FORCE_INTERPRET,
   )(grid, query, cy[:, None, :], cx[:, None, :])
   return out[..., :n] if pad_n else out
 
 
-# One frame's feature grid must fit in VMEM next to the slab intermediates;
-# beyond this, fall back to the einsum formulation.
-_MAX_FRAME_BYTES = 8 * 1024 * 1024
+# One frame's feature grid must fit in VMEM (double-buffered) next to the
+# slab intermediates and query/output tiles; beyond this, fall back to the
+# einsum formulation. 12 MB covers 720p-class grids (180x180x128 bf16 =
+# 8.3 MB; measured 1.07x over the einsum, ~1 min first compile). 1080p
+# grids (270x270, 18.7 MB) fit the raised vmem budget but Mosaic compile
+# does not terminate in reasonable time — keep them on the einsum path.
+_MAX_FRAME_BYTES = 12 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
