@@ -266,6 +266,15 @@ class MixerBlock(nn.Module):
       )
       return y, None
 
+    # The unfused path does not mask pad rows: valid_len is only ever set by
+    # PipsMixer when it pre-pads T for the fused kernel, and the fused gate
+    # above must have taken that padded input. If the gates ever diverge,
+    # pad rows would leak conv bias into real rows — fail loudly instead.
+    if self.valid_len is not None:
+      raise ValueError(
+          "MixerBlock got valid_len on the unfused path; the caller padded "
+          "time for the fused kernel but the fused gate rejected the input."
+      )
     h = _scale_only_layer_norm(x, ln1_scale)
     h, new_cache = temporal(h, cache, return_cache)
     x = x + h

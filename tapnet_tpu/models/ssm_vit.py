@@ -339,7 +339,12 @@ class _PatchEmbed(nn.Module):
 
   @nn.compact
   def __call__(self, video: Array) -> Array:
-    _, ph, pw = self.patch_size
+    pt, ph, pw = self.patch_size
+    if pt != 1:
+      raise NotImplementedError(
+          "temporal patching (patch_size[0] != 1) is not supported; got "
+          f"patch_size={self.patch_size}"
+      )
     b, t, h, w, cin = video.shape
     kernel = self.param(
         "kernel",

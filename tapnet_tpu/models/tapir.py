@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Mapping, NamedTuple, Optional, Sequence, Tup
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tapnet_tpu.models import resnet as resnet_lib
 from tapnet_tpu.models.layers import ExtraConvs, MixerCache, PipsMixer
@@ -661,6 +662,32 @@ class TAPIR(nn.Module):
 
   # ------------------------------------------------------------ trajectories
 
+  def _fused_corr_engages(self, pyramids) -> bool:
+    """True iff `_corr_patches` will take the fused Pallas path for every
+    pyramid grid.
+
+    Iteration-major refinement runs the local correlation over ALL queries
+    at once; that is only memory-safe because the fused kernel never
+    materializes the [B, N, T, H, W] correlation volume. If the kernel
+    would fall back to the einsum formulation (config flags, non-TPU
+    backend, or frames beyond the kernel's VMEM budget), the volume for
+    all queries would be several GB per level — stay chunk-major instead.
+    """
+    from tapnet_tpu.ops import corr_tents
+
+    cfg = self.config
+    if not (
+        cfg.use_matmul_corr and cfg.use_fused_corr and not cfg.use_gather_tents
+    ):
+      return False
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    for pyramid in pyramids:
+      for grid in pyramid:
+        frame_bytes = int(np.prod(grid.shape[2:])) * itemsize
+        if frame_bytes > corr_tents._MAX_FRAME_BYTES:  # pylint: disable=protected-access
+          return False
+    return corr_tents.FORCE_INTERPRET or jax.default_backend() == "tpu"
+
   def _estimate_iteration_major(
       self,
       feature_grids: FeatureGrids,
@@ -1007,6 +1034,7 @@ class TAPIR(nn.Module):
         cfg.iteration_major_refinement
         and causal_state is None
         and not get_causal_context
+        and self._fused_corr_engages(pyramids)
     ):
       return self._estimate_iteration_major(
           feature_grids,
