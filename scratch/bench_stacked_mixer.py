@@ -190,7 +190,10 @@ def reshape_stacked(per_block, c, mult, k):
 
 def main():
   causal = False
-  for (b, t) in [(128, 250), (64, 32)]:
+  shapes = [(128, 250), (64, 32)]
+  if len(sys.argv) > 2:
+    shapes = [(int(sys.argv[1]), int(sys.argv[2]))]
+  for (b, t) in shapes:
     c, mult, k, hid, L = 512, 4, 3, 2048, 12
     x, per_block = make_stacked(b, t, c, mult, k, hid, L)
     st = reshape_stacked(per_block, c, mult, k)
