@@ -191,8 +191,10 @@ def reshape_stacked(per_block, c, mult, k):
 def main():
   causal = False
   shapes = [(128, 250), (64, 32)]
-  if len(sys.argv) > 2:
+  if len(sys.argv) == 3:
     shapes = [(int(sys.argv[1]), int(sys.argv[2]))]
+  elif len(sys.argv) != 1:
+    sys.exit(f"usage: {sys.argv[0]} [batch frames]")
   for (b, t) in shapes:
     c, mult, k, hid, L = 512, 4, 3, 2048, 12
     x, per_block = make_stacked(b, t, c, mult, k, hid, L)
