@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tapnet_tpu.ops import depthwise_mixer
+import pallas_depthwise_mixer as depthwise_mixer
 
 
 @pytest.fixture

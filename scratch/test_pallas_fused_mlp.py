@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tapnet_tpu.ops import fused_mlp
+import pallas_fused_mlp as fused_mlp
 
 
 def make(m=100, c=64, h=256, seed=0, dtype=jnp.float32):

@@ -139,13 +139,13 @@ class TemporalDepthwiseBlock(nn.Module):
 
     new_cache = None
     if cache is None and not return_cache:
-      # Hot path (offline training/inference): fully fused — the 4x hidden
-      # lanes never touch HBM (Pallas kernel on TPU; equivalent jnp math
-      # elsewhere).
-      from tapnet_tpu.ops import depthwise_mixer
+      # Hot path (offline training/inference): per-lane math — the 4x
+      # hidden lanes are never materialized via `repeat`; XLA fuses the
+      # shifted FMAs (ops/mixer_math.py).
+      from tapnet_tpu.ops import mixer_math
 
       flat = x.reshape((-1,) + x.shape[-2:])
-      y = depthwise_mixer.temporal_depthwise(
+      y = mixer_math.temporal_depthwise(
           flat, w_up, b_up, w_mix, b_mix, self.causal
       )
       return y.reshape(x.shape), None
@@ -236,7 +236,7 @@ class MixerBlock(nn.Module):
       cache: Optional[ConvCache] = None,
       return_cache: bool = False,
   ) -> Tuple[Array, Optional[ConvCache]]:
-    from tapnet_tpu.ops import fused_mixer_block, fused_mlp
+    from tapnet_tpu.ops import fused_mixer_block, mixer_math
 
     c = x.shape[-1]
     ln1_scale = self.param_like_layer_norm("ln_temporal", c)
@@ -279,9 +279,9 @@ class MixerBlock(nn.Module):
     h, new_cache = temporal(h, cache, return_cache)
     x = x + h
 
-    # Channel MLP with pre-LN and residual (fused kernel on TPU,
-    # ops/fused_mlp.py).
-    return fused_mlp.mlp_block(x, ln2_scale, w1, b1, w2, b2), new_cache
+    # Channel MLP with pre-LN and residual; XLA's own fusion of the plain
+    # formulation beats a hand-fused kernel here (ops/mixer_math.py).
+    return mixer_math.mlp_block(x, ln2_scale, w1, b1, w2, b2), new_cache
 
   def param_like_layer_norm(self, name: str, features: int) -> Array:
     """Scale param under `<name>/scale`, identical to scale-only

@@ -83,16 +83,16 @@ def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
   ignored on input and exactly zero on output (matching the kernel, so
   pre-padded inputs compose across a block stack).
   """
-  from tapnet_tpu.ops import depthwise_mixer, fused_mlp
+  from tapnet_tpu.ops import mixer_math
 
   t_full = x.shape[1]
   if valid_len is not None and valid_len != t_full:
     x = x[:, :valid_len]
   h = _fast_ln(x, g1)
-  h = depthwise_mixer._math_reference(h, wu, bu, wm, bm, causal)  # pylint: disable=protected-access
+  h = mixer_math.temporal_depthwise_math(h, wu, bu, wm, bm, causal)
   x = x + h
   b, t, c = x.shape
-  y = fused_mlp._math_reference(  # pylint: disable=protected-access
+  y = mixer_math.mlp_math(
       x.reshape(b * t, c), g2, w1, b1, w2, b2
   ).reshape(b, t, c)
   if t != t_full:
