@@ -68,14 +68,18 @@ class StageTimer:
     return "\n".join(lines)
 
 
-def benchmark(
+def _benchmark_times(
     fn: Callable,
     *args,
     iters_per_measure: int = 10,
     num_measures: int = 3,
     warmup: int = 1,
-) -> float:
-  """Returns seconds per call of `fn(*args)`, amortizing dispatch latency.
+) -> list:
+  """Returns a list of seconds-per-call measurements of `fn(*args)`.
+
+  All measurements share ONE jitted loop (compiled during warmup) — building
+  a fresh jit per measurement would recompile every rep, which on
+  remote-dispatch backends costs tens of seconds per rep.
 
   `fn` must be jittable and return a pytree of arrays. Two defenses make
   the loop-in-jit timing honest:
@@ -129,4 +133,48 @@ def benchmark(
     t0 = time.perf_counter()
     float(run_n(*args))
     times.append((time.perf_counter() - t0) / iters_per_measure)
-  return min(times)
+  return times
+
+
+def benchmark(
+    fn: Callable,
+    *args,
+    iters_per_measure: int = 10,
+    num_measures: int = 3,
+    warmup: int = 1,
+) -> float:
+  """Returns min seconds per call of `fn(*args)`. See `_benchmark_times`."""
+  return min(
+      _benchmark_times(
+          fn,
+          *args,
+          iters_per_measure=iters_per_measure,
+          num_measures=num_measures,
+          warmup=warmup,
+      )
+  )
+
+
+def benchmark_stats(
+    fn: Callable,
+    *args,
+    iters_per_measure: int = 10,
+    num_measures: int = 3,
+    warmup: int = 1,
+) -> Dict[str, float]:
+  """Like `benchmark` but returns {"min", "median", "reps": [...]} seconds
+  per call, so round-over-round drift is attributable to noise vs real
+  change. All reps reuse one compiled loop; compile time is excluded."""
+  times = _benchmark_times(
+      fn,
+      *args,
+      iters_per_measure=iters_per_measure,
+      num_measures=num_measures,
+      warmup=warmup,
+  )
+  ordered = sorted(times)
+  return {
+      "min": ordered[0],
+      "median": ordered[len(ordered) // 2],
+      "reps": [round(t, 6) for t in times],
+  }
