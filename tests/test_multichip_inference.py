@@ -18,7 +18,19 @@ from tapnet_tpu.parallel import mesh as mesh_lib
 class TestMultichipInference:
 
   def test_sharded_matches_single_device(self):
-    config = tapir_lib.tapir_config()
+    # Dryrun-sized config: GSPMD compile time on the virtual CPU mesh is
+    # what dominates this test — the FULL default config (12 mixer blocks)
+    # did not compile within 9 minutes here, while the sharding code paths
+    # (frame/query sharding + the inserted feature-grid all-gather) are
+    # identical at any depth (same rationale as __graft_entry__.py's
+    # dryrun config).
+    config = tapir_lib.TapirConfig(
+        num_mixer_blocks=2,
+        num_pips_iter=2,
+        pyramid_level=0,
+        initial_resolution=(32, 32),
+        blocks_per_group=(1, 1, 1, 1),
+    )
     model = tapir_lib.TAPIR(config=config)
     rng = np.random.RandomState(0)
     video = jnp.asarray(
