@@ -47,11 +47,31 @@ def save_tapnext_checkpoint(path: str, params: Mapping[str, Any]) -> None:
   np.savez(path, **flatten(params))
 
 
+def _cubic_weights(out_size: int, in_size: int):
+  """Per-output-row 4-tap cubic-convolution weights and (clamped) source
+  indices, matching torch F.interpolate(mode="bicubic",
+  align_corners=False): half-pixel centers and the Keys kernel with
+  a = -0.75 (jax.image.resize uses a = -0.5, which diverges from the
+  reference torch oracle by up to ~10% on random grids)."""
+  a = -0.75
+  x = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size)
+  x = x - 0.5
+  i0 = np.floor(x).astype(np.int64)
+  taps = i0[:, None] + np.arange(-1, 3)[None, :]  # [out, 4]
+  t = np.abs(x[:, None] - taps)
+  w = np.where(
+      t <= 1.0,
+      ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+      np.where(t < 2.0, a * (((t - 5.0) * t + 8.0) * t - 4.0), 0.0),
+  )
+  return w, np.clip(taps, 0, in_size - 1)
+
+
 def _resize_posemb(pe: np.ndarray, new_hw, name: str) -> np.ndarray:
   """Bicubically resizes a [1, h*w, c] learned posemb to a new square-ish
-  grid (half-pixel centers, matching torch align_corners=False)."""
-  import jax
-
+  grid, bit-matching the torch oracle's
+  F.interpolate(mode="bicubic", align_corners=False)
+  (reference: tapnext_torch.py:248-284)."""
   tokens, c = pe.shape[1], pe.shape[2]
   native = int(round(np.sqrt(tokens)))
   if native * native != tokens:
@@ -62,9 +82,14 @@ def _resize_posemb(pe: np.ndarray, new_hw, name: str) -> np.ndarray:
   nh, nw = new_hw
   if (nh, nw) == (native, native):
     return pe
-  grid = pe.reshape(native, native, c).astype(np.float32)
-  resized = jax.image.resize(grid, (nh, nw, c), method="bicubic")
-  return np.asarray(resized).reshape(1, nh * nw, c).astype(pe.dtype)
+  grid = pe.reshape(native, native, c).astype(np.float64)
+  wh, ih = _cubic_weights(nh, native)
+  ww, iw = _cubic_weights(nw, native)
+  # Rows: [nh, 4] weights over clamped source rows -> [nh, native, c].
+  rows = np.einsum("ok,okwc->owc", wh, grid[ih])
+  # Cols: [nw, 4] weights over clamped source cols -> [nh, nw, c].
+  out = np.einsum("ok,hokc->hoc", ww, rows[:, iw])
+  return out.reshape(1, nh * nw, c).astype(pe.dtype)
 
 
 def adapt_posembs(
