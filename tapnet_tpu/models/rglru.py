@@ -105,6 +105,26 @@ def linear_recurrence(
   return scan_ops.linear_scan(x, a, h0)
 
 
+def sp_active(sp, t: int) -> bool:
+  """Whether the sequence-parallel path applies to a length-t sequence.
+
+  `sp` is an optional (jax.sharding.Mesh, time_axis_name) pair. Streaming
+  steps (t == 1) always take the local path; a multi-step sequence whose
+  length the mesh axis does not divide is a configuration error.
+  """
+  if sp is None:
+    return False
+  mesh, axis = sp
+  p = mesh.shape[axis]
+  if p <= 1 or t == 1:
+    return False
+  if t % p:
+    raise ValueError(
+        f"sequence length {t} not divisible by mesh axis {axis!r} ({p})"
+    )
+  return True
+
+
 class RGLRU(nn.Module):
   """Real-Gated Linear Recurrent Unit.
 
@@ -115,6 +135,9 @@ class RGLRU(nn.Module):
 
   num_heads: int
   w_init_scale: float = 1.0
+  # Optional (Mesh, time_axis) pair: run the recurrence time-sharded over
+  # the mesh (parallel/sequence.py) instead of on one device.
+  sp: Optional[Tuple] = None
 
   @nn.compact
   def __call__(
@@ -161,6 +184,12 @@ class RGLRU(nn.Module):
       multiplier = jnp.where(t_idx == 0, 1.0, multiplier)
     normalized_x = gated_x * multiplier.astype(x.dtype)
 
+    if sp_active(self.sp, x.shape[1]):
+      from tapnet_tpu.parallel import sequence
+
+      return sequence.sequence_parallel_linear_scan(
+          normalized_x, a, cache, mesh=self.sp[0], time_axis=self.sp[1]
+      )
     return linear_recurrence(normalized_x, a, cache)
 
 
@@ -172,6 +201,7 @@ class CausalConv1D(nn.Module):
 
   temporal_width: int = 4
   w_init_scale: float = 0.01
+  sp: Optional[Tuple] = None  # (Mesh, time_axis): see RGLRU.sp
 
   @nn.compact
   def __call__(
@@ -187,6 +217,13 @@ class CausalConv1D(nn.Module):
         (k, c),
     )
     b = self.param("b", nn.initializers.zeros, (c,))
+
+    if sp_active(self.sp, x.shape[1]):
+      from tapnet_tpu.parallel import sequence
+
+      return sequence.sequence_parallel_causal_conv(
+          x, w, b, cache, mesh=self.sp[0], time_axis=self.sp[1]
+      )
 
     if cache is None:
       cache = jnp.zeros((x.shape[0], k - 1, c), x.dtype)
@@ -219,6 +256,7 @@ class RecurrentBlock(nn.Module):
   lru_width: Optional[int] = None
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
+  sp: Optional[Tuple] = None  # (Mesh, time_axis): see RGLRU.sp
 
   @nn.compact
   def __call__(
@@ -232,11 +270,12 @@ class RecurrentBlock(nn.Module):
 
     h = nn.Dense(lru_width, name="linear_x")(x)
     h, conv_state = CausalConv1D(
-        temporal_width=self.conv1d_temporal_width, name="conv_1d"
+        temporal_width=self.conv1d_temporal_width, name="conv_1d",
+        sp=self.sp,
     )(h, None if cache is None else cache.conv1d_state)
-    h, lru_state = RGLRU(num_heads=self.num_heads, name="rg_lru")(
-        h, None if cache is None else cache.rg_lru_state
-    )
+    h, lru_state = RGLRU(
+        num_heads=self.num_heads, name="rg_lru", sp=self.sp
+    )(h, None if cache is None else cache.rg_lru_state)
 
     out = nn.Dense(
         width,
@@ -277,6 +316,7 @@ class GriffinResidualBlock(nn.Module):
   lru_width: Optional[int] = None
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
+  sp: Optional[Tuple] = None  # (Mesh, time_axis): see RGLRU.sp
 
   @nn.compact
   def __call__(
@@ -290,6 +330,7 @@ class GriffinResidualBlock(nn.Module):
         conv1d_temporal_width=self.conv1d_temporal_width,
         final_w_init_variance_scale=self.final_w_init_variance_scale,
         name="recurrent_block",
+        sp=self.sp,
     )(h, cache)
     residual = h + raw
     h = RMSNorm(name="channel_pre_norm")(residual)

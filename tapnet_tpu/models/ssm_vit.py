@@ -119,6 +119,9 @@ class ViTSSMBlock(nn.Module):
   mask_image2image: bool = False
   mask_query2image: bool = False
   num_image_tokens: int = 1024
+  # Optional (Mesh, time_axis): run the SSM temporal scan and causal conv
+  # time-sharded over the mesh (parallel/sequence.py).
+  sp: Optional[Tuple] = None
 
   @nn.compact
   def __call__(
@@ -138,6 +141,7 @@ class ViTSSMBlock(nn.Module):
         num_heads=self.num_heads,
         lru_width=self.lru_width,
         final_w_init_variance_scale=2.0 / self.depth,
+        sp=self.sp,
     )
 
     # [b*t, n, c] -> [b*n, t, c]: tubes along batch, time as sequence.
@@ -179,6 +183,7 @@ class ViTSSMBackbone(nn.Module):
   mask_query2image: bool = False
   num_image_tokens: int = 1024
   remat: bool = False
+  sp: Optional[Tuple] = None  # see ViTSSMBlock.sp
 
   @nn.compact
   def __call__(
@@ -213,6 +218,7 @@ class ViTSSMBackbone(nn.Module):
           mask_image2image=self.mask_image2image,
           mask_query2image=self.mask_query2image,
           num_image_tokens=self.num_image_tokens,
+          sp=self.sp,
       )(x, current_cache, b)
       out[f"block{lyr:02d}"] = outs
       layer_caches.append(outs["ssm_block_cache"])
@@ -255,6 +261,15 @@ class SsmVitConfig:
   # "bfloat16" runs attention and MLP matmuls in bf16 (params stay fp32;
   # the RG-LRU recurrence, norms, and heads stay fp32).
   compute_dtype: str = "float32"
+  # Sequence parallelism: a jax.sharding.Mesh whose `sp_axis` axis shards
+  # the video TIME dimension. The SSM temporal scan and causal conv — the
+  # only cross-time ops — run via parallel/sequence.py (local fused scans
+  # + O(P*B*C) carry exchange); everything else is per-frame and GSPMD
+  # shards it along the same axis. This replaces the reference's
+  # sharding-spec hook (tapnet/utils/ssm_utils.py:51-64) with a real
+  # cross-device algorithm.
+  sp_mesh: Optional[Any] = None
+  sp_axis: str = "data"
 
   @property
   def dtype_mm(self):
@@ -387,6 +402,7 @@ class MaskedSequenceDecoder(nn.Module):
         mask_image2image=cfg.mask_image2image,
         mask_query2image=cfg.mask_query2image,
         num_image_tokens=h * w,
+        sp=(cfg.sp_mesh, cfg.sp_axis) if cfg.sp_mesh is not None else None,
         name="Transformer",
     )
     init = nn.initializers.normal(stddev=1 / np.sqrt(cfg.width))

@@ -113,6 +113,77 @@ def sequence_parallel_linear_scan(
   return sharded(x, a, h0)
 
 
+def sequence_parallel_causal_conv(
+    x: Array,
+    w: Array,
+    b: Array,
+    cache: Optional[Array],
+    mesh: Mesh,
+    time_axis: str = "data",
+) -> Tuple[Array, Array]:
+  """Depthwise causal temporal conv with the time axis sharded over `mesh`.
+
+  Matches models/rglru.CausalConv1D numerics exactly: zero history for a
+  fresh sequence (cache None), otherwise `cache` [B, k-1, C] carries the
+  last k-1 frames of the previous chunk. Each shard all-gathers the
+  min(k-1, T/P)-frame tails (O(P*B*k*C) total, independent of T), slices
+  out its exact k-1 frames of history — correct even when a shard holds
+  fewer than k-1 frames, where the history spans several shards — and runs
+  the same k shifted-FMA formulation locally. The streaming cache comes
+  from the same gathered buffer for free.
+
+  Args:
+    x: [B, T, C]; T divisible by the mesh axis size.
+    w: [k, C] depthwise kernel; b: [C] bias.
+    cache: optional [B, k-1, C] history (streaming).
+    mesh / time_axis: device mesh and the axis T is sharded over.
+
+  Returns:
+    (y [B, T, C] sharded like x, new_cache [B, k-1, C] replicated).
+  """
+  k = w.shape[0]
+  num_shards = mesh.shape[time_axis]
+  if x.shape[1] % num_shards != 0:
+    raise ValueError(
+        f"time dim {x.shape[1]} not divisible by mesh axis"
+        f" '{time_axis}' ({num_shards})"
+    )
+  if cache is None:
+    cache = jnp.zeros((x.shape[0], k - 1, x.shape[-1]), x.dtype)
+
+  def shard_fn(x_sh, w_r, b_r, cache_r):
+    t_local = x_sh.shape[1]
+    m = min(k - 1, t_local)
+    # [P, B, m, C] -> [B, P*m, C]: every shard's tail, in time order. When
+    # t_local < k-1 the tails ARE the full shards, so the concatenation
+    # below holds the entire global prefix.
+    tails = jax.lax.all_gather(x_sh[:, t_local - m:], time_axis)
+    tails = jnp.moveaxis(tails, 0, 1).reshape(
+        x_sh.shape[0], num_shards * m, x_sh.shape[-1]
+    )
+    hist = jnp.concatenate([cache_r.astype(x_sh.dtype), tails], axis=1)
+    # Shard i's k-1 frames of history are rows [i*m, i*m + k-1) of
+    # [cache ++ tails]: for i = 0 that is the cache itself; otherwise the
+    # slice ends exactly at the last gathered frame before this shard.
+    idx = jax.lax.axis_index(time_axis)
+    prev = jax.lax.dynamic_slice_in_dim(hist, idx * m, k - 1, axis=1)
+    full = jnp.concatenate([prev, x_sh], axis=1)
+    y = jnp.zeros_like(x_sh) + b_r
+    for j in range(k):
+      y = y + full[:, j : j + t_local] * w_r[j]
+    # Last k-1 global frames (falling back to cache rows if T < k-1).
+    new_cache = hist[:, hist.shape[1] - (k - 1):]
+    return y, new_cache
+
+  return jax.shard_map(
+      shard_fn,
+      mesh=mesh,
+      in_specs=(P(None, time_axis), P(), P(), P()),
+      out_specs=(P(None, time_axis), P()),
+      check_vma=False,
+  )(x, w, b, cache)
+
+
 def shard_time(x: Array, mesh: Mesh, time_axis: str = "data") -> Array:
   """Places [B, T, ...] with T sharded over the mesh axis."""
   return jax.device_put(x, NamedSharding(mesh, P(None, time_axis)))

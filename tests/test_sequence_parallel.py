@@ -96,3 +96,168 @@ class TestSequenceParallelScan:
       sequence.sequence_parallel_linear_scan(
           x[:, :30], a[:, :30], h0, mesh
       )
+
+
+class TestSequenceParallelCausalConv:
+
+  def test_matches_local_conv(self):
+    from tapnet_tpu.models import rglru
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    mesh = mesh_lib.make_mesh()
+    conv = rglru.CausalConv1D(temporal_width=4)
+    params = conv.init(jax.random.PRNGKey(0), x)["params"]
+    w, b = params["w"], params["b"]
+
+    y_ref, cache_ref = conv.apply({"params": params}, x)
+    y, cache = sequence.sequence_parallel_causal_conv(
+        x, w, b, None, mesh, time_axis="data"
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache), np.asarray(cache_ref),
+                               rtol=1e-5, atol=1e-5)
+
+  def test_shard_smaller_than_kernel(self):
+    # T=8 over 8 shards: each shard holds ONE frame but needs k-1=3 frames
+    # of history spanning the three preceding shards (regression: the halo
+    # used to be a single frame silently broadcast to k-1 rows).
+    from tapnet_tpu.models import rglru
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, 8, C).astype(np.float32))
+    mesh = mesh_lib.make_mesh()
+    conv = rglru.CausalConv1D(temporal_width=4)
+    params = conv.init(jax.random.PRNGKey(0), x)["params"]
+    w, b = params["w"], params["b"]
+
+    y_ref, cache_ref = conv.apply({"params": params}, x)
+    y, cache = sequence.sequence_parallel_causal_conv(
+        x, w, b, None, mesh, time_axis="data"
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache), np.asarray(cache_ref),
+                               rtol=1e-5, atol=1e-5)
+
+  def test_streaming_cache_continuation(self):
+    from tapnet_tpu.models import rglru
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, 2 * T, C).astype(np.float32))
+    mesh = mesh_lib.make_mesh()
+    conv = rglru.CausalConv1D(temporal_width=4)
+    params = conv.init(jax.random.PRNGKey(0), x)["params"]
+    w, b = params["w"], params["b"]
+
+    y_full, _ = conv.apply({"params": params}, x)
+    y1, cache = sequence.sequence_parallel_causal_conv(
+        x[:, :T], w, b, None, mesh, time_axis="data"
+    )
+    y2, _ = sequence.sequence_parallel_causal_conv(
+        x[:, T:], w, b, cache, mesh, time_axis="data"
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], axis=1)), np.asarray(y_full),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+class TestTapnextSequenceParallel:
+  """The FULL TAPNext model with the temporal scan time-sharded must match
+  the single-device forward (VERDICT r2 item 5: replaces the reference's
+  sharding-spec hook, tapnet/utils/ssm_utils.py:51-64)."""
+
+  def test_full_model_matches_single_device(self):
+    import dataclasses
+
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    frames, size, queries = 8, 32, 3
+    base = ssm_vit.SsmVitConfig(
+        width=32, depth=2, mlp_dim=64, num_heads=2,
+        image_size=(size, size), posemb_full="sincos2d",
+    )
+    model = tapnext.TAPNextTracker(config=base)
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(
+        rng.rand(1, frames, size, size, 3).astype(np.float32) * 2 - 1
+    )
+    qp = jnp.asarray(
+        np.stack(
+            [np.zeros(queries), rng.rand(queries) * size,
+             rng.rand(queries) * size], -1,
+        )[None], jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+    ref = model.apply({"params": params}, video, qp)
+
+    mesh = mesh_lib.make_mesh()
+    sp_model = tapnext.TAPNextTracker(
+        config=dataclasses.replace(base, sp_mesh=mesh, sp_axis="data")
+    )
+
+    @jax.jit
+    def fwd(params, video, qp):
+      r = sp_model.apply({"params": params}, video, qp)
+      return r.tracks, r.track_logits, r.visible_logits
+
+    tracks, logits, vis = fwd(params, video, qp)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref.track_logits),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vis), np.asarray(ref.visible_logits),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tracks), np.asarray(ref.tracks), rtol=1e-4, atol=1e-3,
+    )
+
+  def test_gradients_match_single_device(self):
+    import dataclasses
+
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    frames, size, queries = 8, 16, 2
+    base = ssm_vit.SsmVitConfig(
+        width=32, depth=1, mlp_dim=64, num_heads=2,
+        image_size=(size, size), posemb_full="sincos2d",
+    )
+    model = tapnext.TAPNextTracker(config=base)
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(
+        rng.rand(1, frames, size, size, 3).astype(np.float32) * 2 - 1
+    )
+    qp = jnp.asarray(
+        np.stack(
+            [np.zeros(queries), rng.rand(queries) * size,
+             rng.rand(queries) * size], -1,
+        )[None], jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+    mesh = mesh_lib.make_mesh()
+    sp_model = tapnext.TAPNextTracker(
+        config=dataclasses.replace(base, sp_mesh=mesh, sp_axis="data")
+    )
+
+    def loss(m):
+      def f(p):
+        r = m.apply({"params": p}, video, qp)
+        return jnp.mean(r.track_logits ** 2) + jnp.mean(
+            r.visible_logits ** 2
+        )
+      return f
+
+    g_ref = jax.grad(loss(model))(params)
+    g_sp = jax.jit(jax.grad(loss(sp_model)))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(g_sp))
+    for path, leaf in flat_ref:
+      got = flat_sp[path]
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(leaf), rtol=1e-3, atol=1e-4,
+          err_msg=str(path),
+      )
