@@ -72,13 +72,6 @@ class TapirConfig:
   use_fused_corr: bool = True
   feature_extractor_chunk_size: Optional[int] = None
   parallelize_query_extraction: bool = False
-  # Iteration-major refinement (inference, non-causal): per refinement
-  # iteration the local correlation runs over ALL queries in one pass, so
-  # each feature grid is read from HBM once per iteration instead of once
-  # per (query chunk x iteration); the memory-bound mixer still runs
-  # chunk-by-chunk. Identical math to the chunk-major order (chunks are
-  # independent). Off by default pending burn-in.
-  iteration_major_refinement: bool = False
   # "bfloat16" runs the backbone, correlation einsums and mixer in bf16 with
   # fp32 accumulations (preferred_element_type) and fp32 normalization
   # statistics; heads and soft-argmax stay fp32.
@@ -662,186 +655,6 @@ class TAPIR(nn.Module):
 
   # ------------------------------------------------------------ trajectories
 
-  def _fused_corr_engages(self, pyramids) -> bool:
-    """True iff `_corr_patches` will take the fused Pallas path for every
-    pyramid grid.
-
-    Iteration-major refinement runs the local correlation over ALL queries
-    at once; that is only memory-safe because the fused kernel never
-    materializes the [B, N, T, H, W] correlation volume. If the kernel
-    would fall back to the einsum formulation (config flags, non-TPU
-    backend, or frames beyond the kernel's VMEM budget), the volume for
-    all queries would be several GB per level — stay chunk-major instead.
-    """
-    from tapnet_tpu.ops import corr_tents
-
-    cfg = self.config
-    if not (
-        cfg.use_matmul_corr and cfg.use_fused_corr and not cfg.use_gather_tents
-    ):
-      return False
-    itemsize = jnp.dtype(cfg.dtype).itemsize
-    for pyramid in pyramids:
-      for grid in pyramid:
-        frame_bytes = int(np.prod(grid.shape[2:])) * itemsize
-        if frame_bytes > corr_tents._MAX_FRAME_BYTES:  # pylint: disable=protected-access
-          return False
-    return corr_tents.FORCE_INTERPRET or jax.default_backend() == "tpu"
-
-  def _estimate_iteration_major(
-      self,
-      feature_grids: FeatureGrids,
-      query_features: QueryFeatures,
-      query_points_in_video: Optional[Array],
-      query_chunk_size: int,
-      num_queries: int,
-      num_iters: int,
-      perm: Array,
-      inv_perm: Array,
-      pyramids: Sequence[Sequence[Array]],
-      im_shape: Tuple[int, ...],
-      train2orig,
-      chunk_inputs,
-  ) -> Mapping[str, Any]:
-    """Iteration-major inference: stage 1 and the mixer run chunk-by-chunk
-    (memory-bound), but each iteration's local correlation runs over ALL
-    queries at once so the feature grids stream from HBM once per iteration
-    instead of once per (chunk x iteration). Chunks are independent, so the
-    loop order does not change the math.
-    """
-    cfg = self.config
-    num_chunks = -(-num_queries // query_chunk_size)
-    padded = num_chunks * query_chunk_size
-    perm_padded = jnp.concatenate(
-        [perm, jnp.zeros(padded - num_queries, perm.dtype)]
-    )
-    xs = chunk_inputs(perm_padded)  # all (padded) queries, perm order
-
-    def to_chunks(v):
-      """[B, N_pad, ...] -> [num_chunks, B, chunk, ...]."""
-      b = v.shape[0]
-      v = v.reshape((b, num_chunks, query_chunk_size) + v.shape[2:])
-      return jnp.moveaxis(v, 1, 0)
-
-    def from_chunks(v):
-      """[num_chunks, B, chunk, ...] -> [B, N_pad, ...]."""
-      v = jnp.moveaxis(v, 0, 1)
-      return v.reshape((v.shape[0], padded) + v.shape[3:])
-
-    # ---- Stage 1, scanned over chunks (the cost volume is the memory hog).
-    s1_xs = dict(qf_low0=to_chunks(xs["qf_low"][0]))
-    if "qp" in xs:
-      s1_xs["qp"] = to_chunks(xs["qp"])
-
-    def stage1_fn(mdl, carry, xc):
-      pts, occ, expd = mdl.cost_volume_head(
-          xc["qf_low0"], feature_grids.lowres[0], xc.get("qp"), im_shape
-      )
-      return carry, dict(points=pts, occ=occ, expd=expd)
-
-    s1 = nn.scan(
-        stage1_fn,
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=0,
-        out_axes=0,
-    )(self, 0, s1_xs)[1]
-    points = from_chunks(s1["points"])
-    occlusion = from_chunks(s1["occ"])
-    expected_dist = from_chunks(s1["expd"])
-    init_occ, init_expd = occlusion, expected_dist
-
-    pts_i = [train2orig(points)]
-    occ_i = [occlusion]
-    expd_i = [expected_dist]
-
-    mixer_feats = None
-    for i in range(num_iters):
-      level = i // cfg.num_pips_iter + 1
-      queries = [xs["qf_hi"][level], xs["qf_low"][level]]
-      for _ in range(cfg.pyramid_level):
-        queries.append(queries[-1])
-
-      # Local correlation over ALL queries: one pass per pyramid level.
-      corrs_pyr = []
-      for pyridx, (query, grid) in enumerate(
-          zip(queries, pyramids[level - 1])
-      ):
-        if mixer_feats is None:
-          q = query
-        else:
-          if pyridx == 0:
-            q = mixer_feats[..., : cfg.highres_dim]
-          else:
-            q = mixer_feats[..., cfg.highres_dim :]
-        corrs_pyr.append(
-            self._corr_patches(grid, q, points, cfg.initial_resolution)
-        )
-      corrs = jnp.concatenate(corrs_pyr, axis=-1)
-
-      if mixer_feats is None:
-        both = jnp.concatenate([queries[0], queries[1]], axis=-1)
-        feats = jnp.broadcast_to(
-            both[:, :, None, :],
-            both.shape[:2] + (corrs.shape[2],) + both.shape[-1:],
-        )
-      else:
-        feats = mixer_feats
-
-      mlp_input = jnp.concatenate(
-          [
-              jnp.zeros_like(points),
-              occlusion[..., None],
-              expected_dist[..., None],
-              feats,
-              corrs,
-          ],
-          axis=-1,
-      )
-      b, n, t, c = mlp_input.shape
-      xm = to_chunks(mlp_input.astype(cfg.dtype)).reshape(
-          num_chunks, b * query_chunk_size, t, c
-      )
-
-      def mixer_fn(mdl, carry, xc):
-        r, _ = mdl.mixer(xc, None, False)
-        return carry, r
-
-      mixed = nn.scan(
-          mixer_fn,
-          variable_broadcast="params",
-          split_rngs={"params": False},
-          in_axes=0,
-          out_axes=0,
-      )(self, 0, xm)[1]
-      res = from_chunks(
-          mixed.reshape(num_chunks, b, query_chunk_size, t, -1)
-      )
-
-      resized_h, resized_w = feature_grids.resolutions[level].shape[:2]
-      orig_h, orig_w = cfg.initial_resolution
-      pos_update = transforms.convert_grid_coordinates(
-          res[..., :2], (resized_w, resized_h), (orig_w, orig_h)
-      )
-      points = pos_update + points
-      occlusion = res[..., 2] + occlusion
-      expected_dist = res[..., 3] + expected_dist
-      mixer_feats = res[..., 4:] + feats
-
-      pts_i.append(train2orig(points))
-      occ_i.append(occlusion)
-      expd_i.append(expected_dist)
-      if (i + 1) % cfg.num_pips_iter == 0:
-        mixer_feats = None
-        occlusion, expected_dist = init_occ, init_expd
-
-    unpad = lambda v: v[:, :num_queries][:, inv_perm]
-    return dict(
-        tracks=[unpad(p) for p in pts_i],
-        occlusion=[unpad(o) for o in occ_i],
-        expected_dist=[unpad(e) for e in expd_i],
-    )
-
   def estimate_trajectories(
       self,
       video_size: Tuple[int, int],
@@ -1030,26 +843,6 @@ class TAPIR(nn.Module):
             mid=merged_ragged["state_mid"][:, :, :, inv_perm],
         )
       return out
-    elif (
-        cfg.iteration_major_refinement
-        and causal_state is None
-        and not get_causal_context
-        and self._fused_corr_engages(pyramids)
-    ):
-      return self._estimate_iteration_major(
-          feature_grids,
-          query_features,
-          query_points_in_video,
-          query_chunk_size,
-          num_queries,
-          num_iters,
-          perm,
-          inv_perm,
-          pyramids,
-          im_shape,
-          train2orig,
-          chunk_inputs,
-      )
     else:
       # Inference: scan over query chunks — one traced/compiled chunk body
       # regardless of query count (vs. the reference's unrolled loop with
