@@ -27,7 +27,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tapnet_tpu.parallel import mesh as mesh_lib
-from tapnet_tpu.training import checkpointing, optimizers
+from tapnet_tpu.training import checkpointing, optimizers, telemetry
 from tapnet_tpu.utils import losses as loss_lib
 
 Array = jnp.ndarray
@@ -234,6 +234,7 @@ class Trainer:
       checkpoint_path: Optional[str] = None,
       checkpoint_every: int = 1000,
       loss_builder: Optional[Callable] = None,
+      log_path: Optional[str] = None,
   ):
     self.model = model
     self.task = task
@@ -246,6 +247,12 @@ class Trainer:
     self.total_steps = total_steps
     self.checkpoint_path = checkpoint_path
     self.checkpoint_every = checkpoint_every
+    # Scalar telemetry: JSONL next to the checkpoint unless overridden.
+    self.log_path = (
+        log_path
+        if log_path is not None
+        else telemetry.default_log_path(checkpoint_path)
+    )
     self._compiled_step = None
 
   def init_state(self, example_batch, seed: int = 42) -> TrainState:
@@ -327,6 +334,7 @@ class Trainer:
     current state (the reference's in-train eval, experiment.py:193-197).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    sink = telemetry.ScalarSink(self.log_path)
     last_t = time.time()
     for i in range(num_steps):
       batch = next(data)
@@ -347,6 +355,10 @@ class Trainer:
         parts.append(f"gnorm {float(scalars['gradient_norm']):.3f}")
         parts.append(f"lr {lr:.2e} {dt*1000:.0f} ms/step")
         print(" ".join(parts))
+        sink.write(
+            step,
+            dict(scalars, learning_rate=lr, ms_per_step=dt * 1000),
+        )
       if (
           self.checkpoint_path
           and self.checkpoint_every
@@ -371,4 +383,6 @@ class Trainer:
             + " "
             + " ".join(f"{k}={v:.4f}" for k, v in eval_scalars.items())
         )
+        sink.write(step, eval_scalars, kind="eval")
+    sink.close()
     return state

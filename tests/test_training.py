@@ -155,6 +155,54 @@ class TestTrainStep:
     assert losses[-1] < losses[0] * 10
 
 
+class TestTelemetry:
+
+  def test_fit_writes_jsonl_log(self, tmp_path):
+    import json
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    model = tapir_lib.TAPIR(config=TINY)
+    ckpt = tmp_path / "ckpt.npz"
+    t = trainer.Trainer(
+        model,
+        optimizers.OptimizerConfig(base_lr=1e-3, warmup_steps=2),
+        total_steps=10,
+        task=trainer.TaskConfig(train_chunk_size=4),
+        mesh=mesh,
+        checkpoint_path=str(ckpt),
+        checkpoint_every=0,
+    )
+    assert t.log_path == str(tmp_path / "train_log.jsonl")
+    state = t.init_state(tiny_batch())
+    data = synthetic.batch_iterator(
+        seed=3, batch_size=4, num_frames=3, height=32, width=32,
+        num_queries=8,
+    )
+    t.fit(
+        state, data, num_steps=2, log_every=1,
+        eval_fn=lambda s: {"aj": 0.5}, evaluate_every=2,
+    )
+    records = [
+        json.loads(line)
+        for line in open(t.log_path, encoding="utf-8")
+    ]
+    train = [r for r in records if r["kind"] == "train"]
+    evals = [r for r in records if r["kind"] == "eval"]
+    assert len(train) == 2 and len(evals) == 1
+    assert {"step", "time", "loss", "gradient_norm", "learning_rate",
+            "ms_per_step"} <= set(train[0])
+    assert np.isfinite(train[0]["loss"])
+    assert evals[0]["aj"] == 0.5 and evals[0]["step"] == 2
+
+  def test_no_checkpoint_means_no_log(self):
+    from tapnet_tpu.training import telemetry
+
+    assert telemetry.default_log_path(None) is None
+    sink = telemetry.ScalarSink(None)
+    sink.write(0, {"loss": 1.0})  # no-op, no crash
+    sink.close()
+
+
 class TestCheckpointing:
 
   def test_round_trip(self, tmp_path):
