@@ -106,6 +106,13 @@ def _kernel(
 ):
   x = x_ref[0]  # [T_pad, C]; rows >= t_real are zero padding.
   t, c = x.shape
+  # With >= k-1 trailing zero rows (guaranteed by _pallas_forward), the
+  # per-tap boundary masks are unnecessary: in-range shifted reads land on
+  # exact zeros (LN keeps pad rows zero), and circular-roll wraparound only
+  # corrupts rows >= t_real, which the single post-GELU mask (and the final
+  # output mask) zero anyway. Dropping the 2k compare/select chains halves
+  # the kernel's VPU temporal-conv time.
+  halo = (t - t_real) >= (k - 1)
 
   # ---- LN 1 (fp32 stats). Zero rows normalize to zero, so padding stays
   # exactly zero through LN.
@@ -114,18 +121,26 @@ def _kernel(
   var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
   xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g1_ref[:].astype(jnp.float32)
   xn = xn.astype(x.dtype)
+  tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+  valid = tidx < t_real
+  if halo:
+    # The halo path READS pad rows (instead of masking every shifted read),
+    # so they must be exact zeros even if the caller left garbage there:
+    # one [T, C] select replaces 2k [T, mult*C] select chains.
+    xn = jnp.where(valid, xn, jnp.zeros_like(xn))
 
   # ---- Temporal depthwise conv -> GELU -> depthwise conv; the mult
   # hidden lanes live as ONE [T, mult*C] tensor (mult channel-blocks along
   # lanes), so only the k taps are unrolled. Shifted reads v[tau + d] with
-  # zero boundary are fp32 sublane rotates + boundary masks (Mosaic can
-  # lower neither pad+concat along time nor bf16 sublane rotates).
-  tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-
+  # zero boundary are fp32 sublane rotates (+ boundary masks when no halo
+  # rows exist — Mosaic can lower neither pad+concat along time nor bf16
+  # sublane rotates).
   def shifted(v, d):  # v fp32 [T, ...]
     if d == 0:
       return v
     r = pltpu.roll(v, (-d) % t, axis=0)
+    if halo:
+      return r
     mask = (tidx + d >= 0) & (tidx + d < t_real)
     return jnp.where(mask, r, jnp.zeros_like(r))
 
@@ -137,9 +152,8 @@ def _kernel(
   h = jnp.zeros((t, mult * c), jnp.float32) + bu_ref[:].astype(jnp.float32)
   for j in range(k):
     h = h + shifted(xr, j - off) * wu_ref[j].astype(jnp.float32)
-  # Mask so padded rows don't leak gelu(bias) into real rows via the
-  # second conv's shifts.
-  valid = tidx < t_real
+  # Mask so padded rows don't leak gelu(bias) — or, on the halo path,
+  # roll-wraparound garbage — into real rows via the second conv's shifts.
   hm = jnp.where(valid, jax.nn.gelu(h), 0.0)
   acc = jnp.zeros((t, mult * c), jnp.float32)
   for j in range(k):
@@ -183,9 +197,13 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
 
   # Pad time to the fp32 sublane multiple; rotates on unaligned sublane
   # counts are not lowerable. (A caller that pre-pads the stack passes
-  # t % 8 == 0 plus valid_len, making this a no-op.)
+  # t % 8 == 0 plus valid_len, making this a no-op.) Additionally keep
+  # >= k-1 trailing zero rows so the kernel can take its maskless-shift
+  # halo path (see _kernel).
   t_orig = x.shape[1]
   pad_t = -t_orig % 8
+  if (t_orig + pad_t) - t_real < k - 1:
+    pad_t += 8
   if pad_t:
     x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
   t = x.shape[1]
