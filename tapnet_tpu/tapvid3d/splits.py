@@ -1,14 +1,12 @@
 """TAPVid-3D split management.
 
 The benchmark defines minival / full_eval splits as lists of npz filenames
-per data source (adt, pstudio, drivetrack). Rather than vendoring the ~4.6k
-filename literals (reference: tapvid3d/splits/tapvid3d_splits.py), this
-module loads them from text files — one filename per line — looked up as:
-
-  $TAPVID3D_SPLITS_DIR/{source}_{split}.txt
-
-Generate these once from the official release (each line like
-`scene_xyz.npz`), or point TAPVID3D_SPLITS_DIR at an existing copy.
+per data source (adt, pstudio, drivetrack). The reference vendors them as
+~4.6k Python string literals (tapvid3d/splits/tapvid3d_splits.py); here the
+same lists ship as plain text files — one filename per line — under
+`splits_data/` next to this module, so they work out of the box and stay
+greppable. `$TAPVID3D_SPLITS_DIR` overrides the directory (e.g. to pin a
+different benchmark release).
 """
 
 from __future__ import annotations
@@ -20,15 +18,11 @@ SPLITS_DIR_ENV = "TAPVID3D_SPLITS_DIR"
 SOURCES = ("adt", "pstudio", "drivetrack")
 SPLITS = ("minival", "full_eval")
 
+_VENDORED_DIR = os.path.join(os.path.dirname(__file__), "splits_data")
+
 
 def _splits_dir() -> str:
-  d = os.environ.get(SPLITS_DIR_ENV)
-  if not d:
-    raise FileNotFoundError(
-        f"Set ${SPLITS_DIR_ENV} to a directory containing "
-        "{source}_{split}.txt files (one npz filename per line)."
-    )
-  return d
+  return os.environ.get(SPLITS_DIR_ENV) or _VENDORED_DIR
 
 
 def get_split_files(source: str, split: str) -> List[str]:
@@ -47,3 +41,9 @@ def get_minival_files(source: str) -> List[str]:
 
 def get_full_eval_files(source: str) -> List[str]:
   return get_split_files(source, "full_eval")
+
+
+def get_all_files(source: str) -> List[str]:
+  """minival + full_eval (the splits are disjoint; reference
+  tapvid3d_splits.get_all_files)."""
+  return get_minival_files(source) + get_full_eval_files(source)
