@@ -1,6 +1,7 @@
 """Tests for AJ_RD metric (with torch-reference parity) and augmentations."""
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -126,3 +127,41 @@ class TestGeometricAugmentations:
     aug = augmentations.RollAugmentation(p=0.0, seed=0)
     out = aug({"video": video, "tracks": tracks})
     np.testing.assert_array_equal(out["video"], video)
+
+
+class TestAugmentationViz:
+
+  def test_gif_written_and_track_glued_to_dot(self, tmp_path):
+    """The overlay marker must land on the warped dot: the dot's centroid
+    in the augmented frame equals the augmented track within ~2 px."""
+    from tapnet_tpu.data import augmentation_viz, augmentations
+
+    video, tracks = augmentation_viz.make_dot_video(
+        num_frames=8, height=128, width=128
+    )
+    aug = augmentations.RollAugmentation(p=1.1, strength=1.0, seed=0)
+    out = aug({"video": video.astype(np.float32), "tracks": tracks})
+    # The dot is pure red; the out-of-frame constant fill is black, so a
+    # red mask isolates the dot regardless of how much border the warp
+    # drags in. Only frames where the dot survives (nearly) intact are
+    # checked — a clipped dot biases its centroid.
+    full_dot_area = np.pi * 20.0**2
+    yy, xx = np.mgrid[0:128, 0:128]
+    checked = 0
+    for t in range(8):
+      frame = np.clip(out["video"][t], 0, 255)
+      red = (
+          (frame[..., 0] > 180) & (frame[..., 1] < 80) & (frame[..., 2] < 80)
+      ).astype(np.float64)
+      if red.sum() < 0.8 * full_dot_area:
+        continue
+      cx = (xx * red).sum() / red.sum()
+      cy = (yy * red).sum() / red.sum()
+      np.testing.assert_allclose([cx, cy], out["tracks"][t, 0], atol=2.0)
+      checked += 1
+    assert checked >= 2, "warp pushed the dot off-frame in nearly all frames"
+
+    path = augmentation_viz.visualize(
+        "homography", str(tmp_path / "h.gif"), num_frames=6
+    )
+    assert os.path.getsize(path) > 0
