@@ -9,6 +9,7 @@ import pytest
 
 from tapnet_tpu import configs
 from tapnet_tpu.data import kubric
+from tapnet_tpu.data import kubric_convert
 from tapnet_tpu.tapvid import jhmdb
 
 
@@ -75,6 +76,56 @@ class TestKubricIngest:
         )
     # Points rescaled to train resolution.
     assert tp.max() <= 16.0 + 1e-4
+
+
+class TestKubricConvert:
+
+  def make_pipeline_examples(self, n=2, t=4, h=24, w=24, tracks=6):
+    """Fakes the kubric TF pipeline's numpy output: float video in
+    [-1, 1], float64 points, a stray B=1 dim on one example."""
+    rng = np.random.RandomState(1)
+    for i in range(n):
+      ex = {
+          "video": rng.rand(t, h, w, 3).astype(np.float32) * 2.0 - 1.0,
+          "target_points": rng.rand(tracks, t, 2).astype(np.float64)
+          * [w, h],
+          "occluded": rng.rand(tracks, t) > 0.7,
+      }
+      if i == 0:
+        ex = {k: v[None] for k, v in ex.items()}
+      yield ex
+
+  def test_convert_then_ingest(self, tmp_path):
+    out_dir = str(tmp_path / "npz")
+    n = kubric_convert.write_examples(
+        self.make_pipeline_examples(), out_dir
+    )
+    assert n == 2
+    # The written files feed the production ingest path end-to-end.
+    it = kubric.training_iterator(
+        out_dir, batch_size=2, train_size=(16, 16), num_queries=5,
+        color_augment=False,
+    )
+    batch = next(it)
+    assert batch["video"].shape == (2, 4, 16, 16, 3)
+    assert np.asarray(batch["video"]).min() >= -1.0 - 1e-5
+    assert batch["query_points"].shape == (2, 5, 3)
+
+  def test_num_examples_cap_and_schema_errors(self, tmp_path):
+    out_dir = str(tmp_path / "cap")
+    n = kubric_convert.write_examples(
+        self.make_pipeline_examples(n=5), out_dir, num_examples=3
+    )
+    assert n == 3
+    assert len(list((tmp_path / "cap").glob("*.npz"))) == 3
+    with pytest.raises(KeyError):
+      kubric_convert.example_to_npz_arrays({"video": np.zeros((2, 4, 4, 3))})
+    with pytest.raises(ValueError):
+      kubric_convert.example_to_npz_arrays({
+          "video": np.zeros((2, 4, 4, 3), np.uint8),
+          "target_points": np.zeros((3, 9, 2)),  # wrong track length
+          "occluded": np.zeros((3, 9), bool),
+      })
 
 
 class TestJhmdbPck:
