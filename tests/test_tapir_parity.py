@@ -184,6 +184,51 @@ class TestOfflineParity:
         matmul_out["tracks"], gather_out["tracks"], atol=1e-3, rtol=1e-4
     )
 
+  @pytest.mark.slow
+  def test_single_resolution_refinement_matches_reference(self):
+    """The fast inference config (refinement at the final resolution only —
+    the 1.26 s @480p knob, PERFORMANCE.md) maps onto the reference's own
+    `refinement_resolutions` argument (tapir_model.py:630-651), so its
+    accuracy delta vs the default pyramid is exactly the reference's: the
+    two implementations must stay bit-comparable with the knob engaged."""
+    _, our_params, our_model = make_pair()
+    # A video above initial_resolution so the default schedule is genuinely
+    # multi-resolution and the knob collapses it to the final size only.
+    rng = np.random.RandomState(11)
+    video = jnp.asarray(
+        rng.rand(B, T, 2 * H, 2 * W, 3).astype(np.float32) * 2 - 1
+    )
+    qp = make_queries() * jnp.asarray([1.0, 2.0, 2.0])
+    rr = [(2 * H, 2 * W)]
+
+    def fwd(video, qp):
+      model = ref_tapir.TAPIR(**small_config())
+      return model(
+          video,
+          is_training=False,
+          query_points=qp,
+          query_chunk_size=N,
+          refinement_resolutions=rr,
+      )
+
+    transformed = hk.transform_with_state(fwd)
+    ref_params, _ = transformed.init(jax.random.PRNGKey(0), video, qp)
+    our_params_rr = convert_haiku_tapir_params(
+        jax.tree_util.tree_map(np.asarray, dict(ref_params))
+    )
+    ref_out, _ = transformed.apply(
+        ref_params, {}, jax.random.PRNGKey(42), video, qp
+    )
+    our_out = our_model.apply(
+        {"params": our_params_rr}, video, qp, refinement_resolutions=rr
+    )
+    assert_outputs_close(ref_out, our_out)
+    # And the knob genuinely changes the schedule vs the default pyramid.
+    default_out = our_model.apply({"params": our_params_rr}, video, qp)
+    assert len(our_out["unrefined_tracks"]) < len(
+        default_out["unrefined_tracks"]
+    )
+
   def test_extra_convs_parity(self):
     ref_forward, our_params, our_model = make_pair(extra_convs=True)
     video, qp = make_video(), make_queries()
