@@ -22,14 +22,10 @@ CHUNK = int(os.environ.get("CHUNK", 128))
 TRACE = os.environ.get("TRACE", "")
 # REFRES=480 -> refinement at [(480, 480)] only (the speed/quality knob).
 REFRES = os.environ.get("REFRES", "")
-# ITMAJOR=1 -> iteration-major refinement (corr over all queries per iter).
-ITMAJOR = os.environ.get("ITMAJOR", "") == "1"
 
 
 def main():
-  config = tapir_lib.bootstapir_config(
-      compute_dtype="bfloat16", iteration_major_refinement=ITMAJOR
-  )
+  config = tapir_lib.bootstapir_config(compute_dtype="bfloat16")
   model = tapir_lib.TAPIR(config=config)
 
   rng = np.random.RandomState(0)

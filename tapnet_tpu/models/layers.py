@@ -30,6 +30,9 @@ class InstanceNorm(nn.Module):
   @nn.compact
   def __call__(self, x: Array) -> Array:
     # Statistics always in fp32 (bf16 activations would lose too much).
+    # Stays the plain jnp formulation on purpose: a single-pass fused
+    # Pallas kernel (scratch/instance_norm.py) measured 3x SLOWER than
+    # XLA's convert+reduce+normalize fusions at the 480p backbone shapes.
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
     var = jnp.var(xf, axis=(-3, -2), keepdims=True)
@@ -228,6 +231,10 @@ class MixerBlock(nn.Module):
   expansion: int = 4
   # Semantic time length when the caller pre-padded T (see PipsMixer).
   valid_len: Optional[int] = None
+  # Run the channel MLP in w8a8 int8 (inference speed mode; the temporal
+  # conv and LayerNorms stay full precision). Applies on both the fused and
+  # unfused paths so numerics don't depend on the fused-kernel size gate.
+  quantized: bool = False
 
   @nn.compact
   def __call__(
@@ -262,7 +269,7 @@ class MixerBlock(nn.Module):
       wu, bu, wm, bm = temporal.weights()
       y = fused_mixer_block.mixer_block(
           x, ln1_scale, wu, bu, wm, bm, ln2_scale, w1, b1, w2, b2,
-          self.causal, self.valid_len,
+          self.causal, self.valid_len, self.quantized,
       )
       return y, None
 
@@ -281,6 +288,10 @@ class MixerBlock(nn.Module):
 
     # Channel MLP with pre-LN and residual; XLA's own fusion of the plain
     # formulation beats a hand-fused kernel here (ops/mixer_math.py).
+    if self.quantized:
+      return mixer_math.mlp_block_q8(
+          x, ln2_scale, w1, b1, w2, b2
+      ), new_cache
     return mixer_math.mlp_block(x, ln2_scale, w1, b1, w2, b2), new_cache
 
   def param_like_layer_norm(self, name: str, features: int) -> Array:
@@ -315,6 +326,7 @@ class PipsMixer(nn.Module):
   num_blocks: int = 12
   kernel_size: int = 3
   causal: bool = False
+  quantized: bool = False
 
   @nn.compact
   def __call__(
@@ -352,6 +364,7 @@ class PipsMixer(nn.Module):
           kernel_size=self.kernel_size,
           causal=self.causal,
           valid_len=valid_len,
+          quantized=self.quantized,
           name=f"block_{i}",
       )(x, block_cache, return_cache)
       if return_cache:

@@ -76,6 +76,12 @@ class TapirConfig:
   # fp32 accumulations (preferred_element_type) and fp32 normalization
   # statistics; heads and soft-argmax stay fp32.
   compute_dtype: str = "float32"
+  # Inference speed mode: run the mixer's channel MLPs in w8a8 int8 (per-row
+  # dynamic activation scales, per-column weight scales, int32 MXU
+  # accumulation — 2x MXU rate on v5e). Temporal convs, LayerNorms, heads
+  # and correlation stay in compute_dtype. Opt-in; measured accuracy drift
+  # is documented in PERFORMANCE.md.
+  quantized_mixer: bool = False
 
   @property
   def dtype(self):
@@ -328,6 +334,7 @@ class TAPIR(nn.Module):
         num_blocks=cfg.num_mixer_blocks,
         kernel_size=cfg.mixer_kernel_size,
         causal=cfg.use_causal_conv,
+        quantized=cfg.quantized_mixer,
     )
 
   # ---------------------------------------------------------------- features

@@ -76,7 +76,7 @@ def _fast_ln(x, scale):
 
 
 def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
-                    valid_len=None):
+                    valid_len=None, quantized=False):
   """Unfused formulation of the full block. x: [B, T, C].
 
   With `valid_len`, rows >= valid_len are treated as padding: they are
@@ -92,9 +92,16 @@ def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
   h = mixer_math.temporal_depthwise_math(h, wu, bu, wm, bm, causal)
   x = x + h
   b, t, c = x.shape
-  y = mixer_math.mlp_math(
-      x.reshape(b * t, c), g2, w1, b1, w2, b2
-  ).reshape(b, t, c)
+  if quantized:
+    w1q, s1 = mixer_math.quantize_weight_cols(w1)
+    w2q, s2 = mixer_math.quantize_weight_cols(w2)
+    y = mixer_math.mlp_math_q8(
+        x.reshape(b * t, c), g2, w1q, s1, b1, w2q, s2, b2
+    ).reshape(b, t, c)
+  else:
+    y = mixer_math.mlp_math(
+        x.reshape(b * t, c), g2, w1, b1, w2, b2
+    ).reshape(b, t, c)
   if t != t_full:
     y = jnp.pad(y, ((0, 0), (0, t_full - t), (0, 0)))
   return y
@@ -102,8 +109,13 @@ def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
 
 def _kernel(
     x_ref, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, g2_ref, w1_ref, b1_ref,
-    w2_ref, b2_ref, y_ref, *, k, mult, causal, t_real,
+    w2_ref, b2_ref, *rest, k, mult, causal, t_real, quantized=False,
 ):
+  if quantized:
+    # int8 path carries two extra per-column weight-scale operands.
+    s1_ref, s2_ref, y_ref = rest
+  else:
+    (y_ref,) = rest
   x = x_ref[0]  # [T_pad, C]; rows >= t_real are zero padding.
   t, c = x.shape
   # With >= k-1 trailing zero rows (guaranteed by _pallas_forward), the
@@ -168,19 +180,40 @@ def _kernel(
   xf = x.astype(jnp.float32)
   mu = jnp.mean(xf, axis=-1, keepdims=True)
   var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-  xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g2_ref[:].astype(jnp.float32)
-  xn = xn.astype(x.dtype)
-  h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-  h = jax.nn.gelu(h + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
-  y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-  y = (y + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+  xn32 = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g2_ref[:].astype(jnp.float32)
+  if quantized:
+    # w8a8: symmetric per-row dynamic activation scales, per-column weight
+    # scales (computed outside the kernel), int32 MXU accumulation. Same
+    # formulas as mixer_math.mlp_math_q8.
+    def _qrows(v):
+      amax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True), 1e-8)
+      q = jnp.clip(jnp.round(v * (127.0 / amax)), -127.0, 127.0)
+      return q.astype(jnp.int8), amax * (1.0 / 127.0)
+
+    xq, xs = _qrows(xn32)
+    acc = jnp.dot(xq, w1_ref[:], preferred_element_type=jnp.int32)
+    h = acc.astype(jnp.float32) * (xs * s1_ref[:]) + b1_ref[:].astype(
+        jnp.float32
+    )
+    hq, hs = _qrows(jax.nn.gelu(h))
+    acc2 = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * (hs * s2_ref[:]) + b2_ref[:].astype(
+        jnp.float32
+    )
+    y = y.astype(x.dtype)
+  else:
+    xn = xn32.astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    y = (y + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
   # Keep padding rows exactly zero so pre-padded inputs compose across a
   # block stack (the stack pads T once instead of per block).
   y_ref[0] = jnp.where(valid, x + y, jnp.zeros_like(x))
 
 
 def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
-                    valid_len=None):
+                    valid_len=None, quantized=False):
   b, t_real, c = x.shape
   if valid_len is not None:
     t_real = valid_len
@@ -210,26 +243,48 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
 
   row = lambda i: (i, 0, 0)
 
+  operands = [x, g1, wu2, bu1, wm2, bm1, g2]
+  in_specs = [
+      pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
+      pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+      pl.BlockSpec((k, mult * c), lambda i: (0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((mult * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+      pl.BlockSpec((k, mult * c), lambda i: (0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+      pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+  ]
+  if quantized:
+    from tapnet_tpu.ops import mixer_math
+
+    w1q, s1 = mixer_math.quantize_weight_cols(w1)
+    w2q, s2 = mixer_math.quantize_weight_cols(w2)
+    operands += [w1q, b1, w2q, b2, s1, s2]
+    in_specs += [
+        pl.BlockSpec((c, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hid, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+  else:
+    operands += [w1, b1, w2, b2]
+    in_specs += [
+        pl.BlockSpec((c, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hid, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+
   out = pl.pallas_call(
       functools.partial(
-          _kernel, k=k, mult=mult, causal=causal, t_real=t_real
+          _kernel, k=k, mult=mult, causal=causal, t_real=t_real,
+          quantized=quantized,
       ),
       grid=(b,),
-      in_specs=[
-          pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((k, mult * c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((mult * c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((k, mult * c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((c, hid), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((hid,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((hid, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-      ],
+      in_specs=in_specs,
       out_specs=pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
       # The resident weights (w1/w2: 4 MB bf16 at production C=512) plus the
@@ -240,13 +295,14 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
           vmem_limit_bytes=100 * 1024 * 1024,
       ),
       interpret=FORCE_INTERPRET,
-  )(x, g1, wu2, bu1, wm2, bm1, g2, w1, b1, w2, b2)
+  )(*operands)
   return out[:, :t_orig] if pad_t else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
-                causal: bool = False, valid_len=None):
+                causal: bool = False, valid_len=None,
+                quantized: bool = False):
   """Fused mixer block: x += dwconv(LN(x)); x += MLP(LN(x)).
 
   Args:
@@ -259,35 +315,45 @@ def mixer_block(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
     valid_len: if set, rows >= valid_len are padding — ignored on input,
       exactly zero on output. Lets a block stack pad T to the sublane
       multiple once instead of per block.
+    quantized: run the channel MLP in w8a8 int8 (per-row dynamic activation
+      scales, per-column weight scales, int32 MXU accumulation). The
+      temporal conv and LNs stay full precision. The backward pass is a
+      straight-through estimator through the full-precision math.
 
   Returns:
     [B, T, C], same dtype as x.
   """
   if FORCE_INTERPRET:
     return _pallas_forward(
-        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len,
+        quantized,
     )
   if not ENABLED:
     return _math_reference(
-        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+        x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len,
+        quantized,
     )
   return jax.lax.platform_dependent(
       x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2,
       tpu=functools.partial(_pallas_forward, causal=causal,
-                            valid_len=valid_len),
+                            valid_len=valid_len, quantized=quantized),
       default=functools.partial(_math_reference, causal=causal,
-                                valid_len=valid_len),
+                                valid_len=valid_len, quantized=quantized),
   )
 
 
-def _fwd(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len):
+def _fwd(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len,
+         quantized):
   out = mixer_block(
-      x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len
+      x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal, valid_len,
+      quantized,
   )
   return out, (x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2)
 
 
-def _bwd(causal, valid_len, res, g):
+def _bwd(causal, valid_len, quantized, res, g):
+  # Straight-through for the quantized path: gradients flow through the
+  # full-precision math (quantization is an inference-time mode).
   _, vjp = jax.vjp(
       lambda *args: _math_reference(*args, causal, valid_len), *res
   )

@@ -100,6 +100,97 @@ def _td_bwd(causal, res, g):
 temporal_depthwise.defvjp(_td_fwd, _td_bwd)
 
 
+def quantize_rows(x):
+  """Symmetric per-row int8 quantization of fp32 activations.
+
+  Returns (q int8 [..., C], scale fp32 [..., 1]) with q*scale ~= x.
+  """
+  amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+  q = jnp.clip(jnp.round(x * (127.0 / amax)), -127.0, 127.0)
+  return q.astype(jnp.int8), amax * (1.0 / 127.0)
+
+
+def quantize_weight_cols(w):
+  """Symmetric per-output-column int8 quantization of an [in, out] weight.
+
+  Returns (q int8 [in, out], scale fp32 [out]).
+  """
+  wf = w.astype(jnp.float32)
+  amax = jnp.max(jnp.abs(wf), axis=0)
+  scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+  q = jnp.clip(jnp.round(wf / scale), -127.0, 127.0).astype(jnp.int8)
+  return q, scale
+
+
+def mlp_math_q8(x, ln_scale, w1q, s1, b1, w2q, s2, b2):
+  """Quantized (w8a8) residual channel MLP, shared semantics with the fused
+  kernel's quantized path: LN in fp32, symmetric per-row dynamic activation
+  scales, per-output-column weight scales, int32 MXU accumulation, dequant +
+  bias + GELU in fp32.
+
+  Args:
+    x: [..., C] tokens, any float dtype.
+    ln_scale: [C] scale-only LayerNorm scale.
+    w1q / w2q: int8 [C, H] / [H, C] pre-quantized weights.
+    s1 / s2: fp32 [H] / [C] per-column weight scales.
+    b1 / b2: [H] / [C] biases (float).
+
+  Returns:
+    [..., C], same dtype as x.
+  """
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+  xn = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+  xn = xn * ln_scale.astype(jnp.float32)
+  xq, xs = quantize_rows(xn)
+  acc = jnp.dot(xq, w1q, preferred_element_type=jnp.int32)
+  h = acc.astype(jnp.float32) * (xs * s1) + b1.astype(jnp.float32)
+  h = jax.nn.gelu(h)
+  hq, hs = quantize_rows(h)
+  acc2 = jnp.dot(hq, w2q, preferred_element_type=jnp.int32)
+  y = acc2.astype(jnp.float32) * (hs * s2) + b2.astype(jnp.float32)
+  return x + y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def mlp_block_q8(x, ln_scale, w1, b1, w2, b2):
+  """Residual channel MLP in w8a8 int8 (inference path).
+
+  Same signature as `mlp_block`; weights are quantized on the fly
+  (per-output-column scales — XLA hoists the quantization out of scan
+  loops since it only depends on the loop-invariant params). The backward
+  pass is a straight-through estimator: gradients flow through the
+  full-precision math (quantization is inference-only; training with this
+  block active optimizes the dequantized surrogate).
+  """
+  lead = x.shape[:-1]
+  c = x.shape[-1]
+  w1q, s1 = quantize_weight_cols(w1)
+  w2q, s2 = quantize_weight_cols(w2)
+  return mlp_math_q8(
+      x.reshape(-1, c), ln_scale, w1q, s1, b1, w2q, s2, b2
+  ).reshape(lead + (c,))
+
+
+def _mlp_q8_fwd(x, ln_scale, w1, b1, w2, b2):
+  return mlp_block_q8(x, ln_scale, w1, b1, w2, b2), (
+      x, ln_scale, w1, b1, w2, b2,
+  )
+
+
+def _mlp_q8_bwd(res, g):
+  x, ln_scale, w1, b1, w2, b2 = res
+  lead = x.shape[:-1]
+  c = x.shape[-1]
+  _, vjp = jax.vjp(mlp_math, x.reshape(-1, c), ln_scale, w1, b1, w2, b2)
+  grads = vjp(g.reshape(-1, c))
+  return (grads[0].reshape(lead + (c,)),) + grads[1:]
+
+
+mlp_block_q8.defvjp(_mlp_q8_fwd, _mlp_q8_bwd)
+
+
 def mlp_math(x, ln_scale, w1, b1, w2, b2):
   """x + Dense(gelu(Dense(LN(x)))), bit-matching the unfused Flax modules:
   scale-only LN with fp32 statistics, fp32 matmul accumulation, IO in the

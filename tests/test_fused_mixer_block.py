@@ -102,6 +102,62 @@ class TestFusedMixerBlock:
     # Pad rows stay exactly zero.
     assert np.all(np.asarray(out[:, t_real:]) == 0)
 
+  @pytest.mark.parametrize("causal", [False, True])
+  def test_quantized_kernel_matches_quantized_math(
+      self, force_interpret, causal
+  ):
+    args = make_inputs(seed=4)
+    out = fmb._pallas_forward(*args, causal, quantized=True)
+    ref = fmb._math_reference(*args, causal, quantized=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+  def test_quantized_close_to_full_precision(self, force_interpret):
+    """w8a8 MLP drift stays small relative to the signal (sanity bound)."""
+    args = make_inputs(seed=5, b=4, t=16)
+    full = np.asarray(fmb._math_reference(*args, False))
+    q = np.asarray(fmb._pallas_forward(*args, False, quantized=True))
+    rel = np.abs(q - full) / (np.abs(full).mean() + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+    assert rel.max() < 0.2, rel.max()
+
+  def test_quantized_flax_block_unfused_matches_math(self):
+    """MixerBlock(quantized=True) below the fused size gate uses the same
+    quantized math as the kernel path."""
+    from tapnet_tpu.models.layers import MixerBlock
+    from tapnet_tpu.ops import mixer_math
+
+    args = make_inputs(seed=6, c=16, hid=64)
+    (x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2) = args
+    params = {
+        "ln_temporal": {"scale": g1},
+        "temporal": {
+            "dw_up": {"kernel": wu, "bias": bu},
+            "dw_mix": {"kernel": wm, "bias": bm},
+        },
+        "ln_channel": {"scale": g2},
+        "fc_up": {"kernel": w1, "bias": b1},
+        "fc_down": {"kernel": w2, "bias": b2},
+    }
+    block = MixerBlock(kernel_size=3, causal=False, quantized=True)
+    out_flax, _ = block.apply({"params": params}, x)
+    ref = fmb._math_reference(*args, False, quantized=True)
+    np.testing.assert_allclose(
+        np.asarray(out_flax), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+  def test_quantized_gradients_are_straight_through(self, force_interpret):
+    args = make_inputs(seed=7)
+
+    def loss(*a):
+      return jnp.sum(fmb.mixer_block(*a, False, None, True) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 7))(*args)
+    for g in grads:
+      assert np.all(np.isfinite(np.asarray(g)))
+      assert np.abs(np.asarray(g)).sum() > 0
+
   def test_gradients_flow(self, force_interpret):
     args = make_inputs(seed=3)
 
