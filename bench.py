@@ -317,10 +317,79 @@ def bench_bootstapir_480p():
   return record
 
 
+def bench_bootstapir_480p_fast():
+  """Fastest validated inference mode at the north-star workload:
+  refinement at the final resolution only (fp32 parity-pinned to the
+  reference's own `refinement_resolutions` knob,
+  tests/test_tapir_parity.py::test_single_resolution_refinement_matches_reference)
+  plus w8a8 int8 mixer MLPs (measured track drift vs bf16 at this exact
+  workload: mean 0.11 px / p95 0.23 px / max 0.55 px, PERFORMANCE.md)."""
+  from tapnet_tpu.models import tapir as tapir_lib
+  from tapnet_tpu.utils import profiling
+
+  frames, queries, res = 250, 1024, 480
+  chunk = 128
+  config = tapir_lib.bootstapir_config(
+      compute_dtype="bfloat16", quantized_mixer=True
+  )
+  model = tapir_lib.TAPIR(config=config)
+
+  rng = np.random.RandomState(0)
+  video = jnp.asarray(
+      rng.rand(1, frames, res, res, 3).astype(np.float32) * 2 - 1
+  )
+  query_points = _random_queries(rng, frames, queries, res)
+  params = _cpu_init(
+      model,
+      jnp.zeros((1, 2, 256, 256, 3), jnp.float32),
+      jnp.zeros((1, chunk, 3), jnp.float32),
+      query_chunk_size=chunk,
+  )
+
+  def forward(video, query_points):
+    out = model.apply(
+        {"params": params}, video, query_points, query_chunk_size=chunk,
+        refinement_resolutions=[(res, res)],
+    )
+    return out["tracks"], out["occlusion"], out["expected_dist"]
+
+  stats = profiling.benchmark_stats(
+      forward, video, query_points, iters_per_measure=1, num_measures=4
+  )
+  record = {
+      "metric": "bootstapir_480p_fast_int8_wall_s",
+      "value": round(stats["median"], 4),
+      "unit": "s/video (1024 queries x 250 frames @480p, one chip)",
+      "vs_baseline": round(NORTH_STAR_TARGET_S / stats["median"], 3),
+      "config": {
+          "frames": frames,
+          "queries": queries,
+          "resolution": res,
+          "chunk": chunk,
+          "compute_dtype": "bfloat16",
+          "quantized_mixer": True,
+          "refinement_resolutions": [[res, res]],
+          "model": "bootstapir (extra_convs, pyramid_level=1)",
+          "wall_s_min": round(stats["min"], 4),
+          "wall_s_reps": [round(t, 4) for t in stats["reps"]],
+          "points_frames_per_sec": round(frames * queries / stats["min"], 1),
+          "north_star_target_s": NORTH_STAR_TARGET_S,
+          "accuracy_note": (
+              "single-resolution refinement is the reference's own knob "
+              "(fp32 parity test); int8 mixer drift at this workload "
+              "0.11 px mean / 0.55 px max vs bf16"
+          ),
+          "device": str(jax.devices()[0]),
+      },
+  }
+  _emit(record)
+  return record
+
+
 def main():
   extras = {}
   for fn in (bench_tapir_offline_256, bench_causal_tapir_online,
-             bench_tapnext_online):
+             bench_tapnext_online, bench_bootstapir_480p_fast):
     try:
       rec = fn()
       extras[rec["metric"]] = rec["value"]

@@ -22,10 +22,13 @@ CHUNK = int(os.environ.get("CHUNK", 128))
 TRACE = os.environ.get("TRACE", "")
 # REFRES=480 -> refinement at [(480, 480)] only (the speed/quality knob).
 REFRES = os.environ.get("REFRES", "")
+QUANT = bool(int(os.environ.get("QUANT", "0")))
 
 
 def main():
-  config = tapir_lib.bootstapir_config(compute_dtype="bfloat16")
+  config = tapir_lib.bootstapir_config(
+      compute_dtype="bfloat16", quantized_mixer=QUANT
+  )
   model = tapir_lib.TAPIR(config=config)
 
   rng = np.random.RandomState(0)
