@@ -323,14 +323,18 @@ def bench_bootstapir_480p_fast():
   reference's own `refinement_resolutions` knob,
   tests/test_tapir_parity.py::test_single_resolution_refinement_matches_reference)
   plus w8a8 int8 mixer MLPs (measured track drift vs bf16 at this exact
-  workload: mean 0.11 px / p95 0.23 px / max 0.55 px, PERFORMANCE.md)."""
+  workload: mean 0.11 px / p95 0.23 px / max 0.55 px, PERFORMANCE.md)
+  plus w8a8 int8 ExtraConvs (drift: p50 0.22 px, 95.8% of point-frames
+  < 1 px, 0.6% argmax-flip tail — PERFORMANCE.md)."""
   from tapnet_tpu.models import tapir as tapir_lib
   from tapnet_tpu.utils import profiling
 
   frames, queries, res = 250, 1024, 480
   chunk = 128
   config = tapir_lib.bootstapir_config(
-      compute_dtype="bfloat16", quantized_mixer=True
+      compute_dtype="bfloat16",
+      quantized_mixer=True,
+      quantized_extra_convs=True,
   )
   model = tapir_lib.TAPIR(config=config)
 
@@ -368,6 +372,7 @@ def bench_bootstapir_480p_fast():
           "chunk": chunk,
           "compute_dtype": "bfloat16",
           "quantized_mixer": True,
+          "quantized_extra_convs": True,
           "refinement_resolutions": [[res, res]],
           "model": "bootstapir (extra_convs, pyramid_level=1)",
           "wall_s_min": round(stats["min"], 4),
@@ -377,7 +382,8 @@ def bench_bootstapir_480p_fast():
           "accuracy_note": (
               "single-resolution refinement is the reference's own knob "
               "(fp32 parity test); int8 mixer drift at this workload "
-              "0.11 px mean / 0.55 px max vs bf16"
+              "0.11 px mean / 0.55 px max vs bf16; int8 ExtraConvs drift "
+              "p50 0.22 px with a 0.6% argmax-flip tail (PERFORMANCE.md)"
           ),
           "device": str(jax.devices()[0]),
       },

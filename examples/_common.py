@@ -74,6 +74,18 @@ def tapir_params(checkpoint: Optional[str], config, video_shape):
   )["params"]
 
 
+def tiny_tapir(config):
+  """Shrinks a TapirConfig for quick smoke runs: 2 mixer blocks and
+  single-block ResNet groups. The pipeline (features, cost volume,
+  refinement, heads) is unchanged; only depth shrinks, so a full-model
+  CPU compile drops from minutes to seconds."""
+  import dataclasses
+
+  return dataclasses.replace(
+      config, num_mixer_blocks=2, blocks_per_group=(1, 1, 1, 1)
+  )
+
+
 def grid_queries(
     frame: int, height: int, width: int, stride: int = 32
 ) -> np.ndarray:

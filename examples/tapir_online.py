@@ -47,6 +47,8 @@ def main():
   p.add_argument("--grid_stride", type=int, default=64)
   p.add_argument("--num_frames", type=int, default=24,
                help="synthetic clip length when no --video")
+  p.add_argument("--tiny", action="store_true",
+               help="2-block model for quick smoke runs (random weights)")
   p.add_argument("--out", default="/tmp/tapir_online_tracks.mp4")
   args = p.parse_args()
 
@@ -55,6 +57,8 @@ def main():
   )
   t, h, w = video_u8.shape[:3]
   config = CONFIGS[args.model]()
+  if args.tiny:
+    config = _common.tiny_tapir(config)
   params = _common.tapir_params(args.checkpoint, config, (t, h, w))
   video = _common.normalize_video(video_u8)
 

@@ -40,6 +40,8 @@ def main():
   p.add_argument("--query_frame", type=int, default=0)
   p.add_argument("--num_frames", type=int, default=24,
                help="synthetic clip length when no --video")
+  p.add_argument("--tiny", action="store_true",
+               help="2-block model for quick smoke runs (random weights)")
   p.add_argument("--out", default="/tmp/tapir_rainbow.mp4")
   args = p.parse_args()
 
@@ -48,6 +50,8 @@ def main():
   )
   t, h, w = video_u8.shape[:3]
   config = tapir_lib.tapir_config()
+  if args.tiny:
+    config = _common.tiny_tapir(config)
   params = _common.tapir_params(args.checkpoint, config, (t, h, w))
 
   predictor = inference.TapirPredictor(params, config=config)

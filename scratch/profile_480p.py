@@ -23,11 +23,14 @@ TRACE = os.environ.get("TRACE", "")
 # REFRES=480 -> refinement at [(480, 480)] only (the speed/quality knob).
 REFRES = os.environ.get("REFRES", "")
 QUANT = bool(int(os.environ.get("QUANT", "0")))
+QEC = bool(int(os.environ.get("QEC", "0")))  # w8a8 ExtraConvs
 
 
 def main():
   config = tapir_lib.bootstapir_config(
-      compute_dtype="bfloat16", quantized_mixer=QUANT
+      compute_dtype="bfloat16",
+      quantized_mixer=QUANT,
+      quantized_extra_convs=QEC,
   )
   model = tapir_lib.TAPIR(config=config)
 

@@ -396,16 +396,51 @@ class PipsMixer(nn.Module):
     )
 
 
+class _Conv3x3(nn.Module):
+  """3x3/SAME conv with an optional w8a8 int8 forward.
+
+  Parameter names and shapes match `nn.Conv` exactly (kernel [3, 3, in, out],
+  bias [out]) so released checkpoints load identically in either mode. The
+  quantized path (ops/qconv.py) runs the MXU at 2x with a straight-through
+  backward; it is an inference-time opt-in, like `quantized_mixer`.
+  """
+
+  features: int
+  quantized: bool = False
+  kernel_init: nn.initializers.Initializer = (
+      nn.initializers.lecun_normal()
+  )
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    from tapnet_tpu.ops import qconv
+
+    kernel = self.param(
+        "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features)
+    )
+    bias = self.param("bias", nn.initializers.zeros, (self.features,))
+    if self.quantized:
+      return qconv.conv2d_q8(x, kernel, bias)
+    return qconv.conv2d_fp_math(x, kernel, bias)
+
+
 class ExtraConvs(nn.Module):
   """Extra conv stack appended after the backbone (BootsTAPIR;
   reference: tapir_model.py:159-186). Residual 3x3 convs with 4x expansion
   and zero-initialised output convs. NOTE: the LayerNorm (with offset) sits
   in the *main* path — each layer normalizes x before adding the residual.
+
+  `quantized=True` runs the convolutions in w8a8 int8 (per-frame dynamic
+  activation scales, per-output-channel weight scales, int32 MXU
+  accumulation); LayerNorms, GELUs and the residual stream stay full
+  precision. At the 480p north-star workload this stack is ~43 TFLOP near
+  the bf16 MXU floor; int8 runs it at ~1.7x (measured, PERFORMANCE.md).
   """
 
   num_layers: int = 5
   channel_multiplier: int = 4
   use_tsm: bool = False
+  quantized: bool = False
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -418,13 +453,15 @@ class ExtraConvs(nn.Module):
         resid = jnp.concatenate([x, prev, nxt], axis=-1)
       else:
         resid = x
-      resid = nn.Conv(
-          x.shape[-1] * self.channel_multiplier, (3, 3), name=f"conv_up_{i}"
+      resid = _Conv3x3(
+          x.shape[-1] * self.channel_multiplier,
+          quantized=self.quantized,
+          name=f"conv_up_{i}",
       )(resid)
       resid = jax.nn.gelu(resid)
-      x = x + nn.Conv(
+      x = x + _Conv3x3(
           x.shape[-1],
-          (3, 3),
+          quantized=self.quantized,
           kernel_init=nn.initializers.zeros,
           name=f"conv_out_{i}",
       )(resid)

@@ -82,6 +82,12 @@ class TapirConfig:
   # and correlation stay in compute_dtype. Opt-in; measured accuracy drift
   # is documented in PERFORMANCE.md.
   quantized_mixer: bool = False
+  # Inference speed mode: run the ExtraConvs stack (BootsTAPIR) in w8a8 int8
+  # (per-frame dynamic activation scales, per-output-channel weight scales,
+  # int32 MXU accumulation). At 480p ExtraConvs is ~43 TFLOP near the bf16
+  # MXU floor; int8 runs it at ~1.7x. LayerNorms/GELUs/residuals stay in
+  # compute_dtype. Opt-in; drift documented in PERFORMANCE.md.
+  quantized_extra_convs: bool = False
 
   @property
   def dtype(self):
@@ -324,7 +330,7 @@ class TAPIR(nn.Module):
     )
     self.backbone = nn.remat(resnet_lib.ResNet)(config=backbone_cfg)
     if cfg.extra_convs:
-      self.extra = ExtraConvs()
+      self.extra = ExtraConvs(quantized=cfg.quantized_extra_convs)
     self.cost_volume_head = CostVolumeHead(
         softmax_temperature=cfg.softmax_temperature
     )

@@ -107,7 +107,13 @@ def _benchmark_times(
       eps = carry * jnp.float32(1e-30)  # runtime value, rounds to +0.0
 
       def bump(x):
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+        if not hasattr(x, "dtype"):
+          return x
+        if jnp.issubdtype(x.dtype, jnp.floating):
+          return x + eps.astype(x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+          # eps rounds to integer zero, but remains a runtime value, so
+          # integer inputs (int8 quantized paths) are also loop-carried.
           return x + eps.astype(x.dtype)
         return x
 
@@ -117,7 +123,10 @@ def _benchmark_times(
           jnp.sum(leaf, dtype=jnp.float32)
           for leaf in jax.tree_util.tree_leaves(out)
           if hasattr(leaf, "dtype")
-          and jnp.issubdtype(leaf.dtype, jnp.floating)
+          and (
+              jnp.issubdtype(leaf.dtype, jnp.floating)
+              or jnp.issubdtype(leaf.dtype, jnp.integer)
+          )
       ]
       total = picks[0] if picks else jnp.float32(0)
       for p in picks[1:]:

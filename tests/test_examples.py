@@ -18,11 +18,15 @@ def run_example(monkeypatch, module_name, argv):
 
 class TestExamples:
 
+  # The default suite runs every pipeline with `--tiny` / the `mu` TAPNext
+  # variant: full-size configs compile for minutes on the CPU backend and
+  # belong to the slow marker (test_examples_fullsize.py there if needed).
+
   def test_tapir_offline(self, monkeypatch, tmp_path):
     run_example(
         monkeypatch,
         "examples.tapir_offline",
-        ["--resize", "64", "64", "--num_frames", "6",
+        ["--resize", "64", "64", "--num_frames", "6", "--tiny",
          "--out", str(tmp_path / "t.mp4")],
     )
 
@@ -31,14 +35,14 @@ class TestExamples:
         monkeypatch,
         "examples.tapir_online",
         ["--resize", "64", "64", "--num_frames", "4", "--grid_stride", "32",
-         "--out", str(tmp_path / "t.mp4")],
+         "--tiny", "--out", str(tmp_path / "t.mp4")],
     )
 
   def test_tapir_rainbow(self, monkeypatch, tmp_path):
     run_example(
         monkeypatch,
         "examples.tapir_rainbow",
-        ["--resize", "64", "64", "--num_frames", "5",
+        ["--resize", "64", "64", "--num_frames", "5", "--tiny",
          "--out", str(tmp_path / "t.mp4")],
     )
 
@@ -46,7 +50,7 @@ class TestExamples:
     run_example(
         monkeypatch,
         "examples.tapnext_tracking",
-        ["--num_frames", "3", "--grid_stride", "128",
+        ["--num_frames", "3", "--grid_stride", "128", "--variant", "mu",
          "--out", str(tmp_path / "t.mp4")],
     )
 
@@ -55,7 +59,7 @@ class TestExamples:
         monkeypatch,
         "examples.tapnext_tracking",
         ["--num_frames", "3", "--grid_stride", "128", "--streaming",
-         "--out", str(tmp_path / "t.mp4")],
+         "--variant", "mu", "--out", str(tmp_path / "t.mp4")],
     )
 
   def test_trajan_roundtrip(self, monkeypatch):
