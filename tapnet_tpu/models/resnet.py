@@ -38,6 +38,54 @@ class ResNetConfig:
   stem_channels: int = 64
   stem_kernel: int = 7
   stem_stride: int = 2
+  # Inference speed mode: run the residual-block convolutions (incl.
+  # projections) in w8a8 int8 (ops/qconv.py; 2x MXU rate on v5e, int32
+  # accumulation, straight-through backward). The stem conv stays full
+  # precision: its 3-channel input pads to 128 MXU lanes either way, and
+  # first-layer quantization is the most accuracy-sensitive. Norms, relus
+  # and residual adds stay in the compute dtype. The parameter tree is
+  # identical to the full-precision model, so checkpoints load in either
+  # mode. Opt-in; drift documented in PERFORMANCE.md.
+  quantized: bool = False
+
+
+class _QConv(nn.Module):
+  """Bias-free w8a8 int8 conv with an nn.Conv-identical parameter tree
+  (kernel [kh, kw, C_in, C_out] under the module name), so released
+  checkpoints load interchangeably with the full-precision blocks."""
+
+  features: int
+  kernel_size: Tuple[int, int]
+  strides: int = 1
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    from tapnet_tpu.ops import qconv
+
+    kh, kw = self.kernel_size
+    kernel = self.param(
+        "kernel",
+        nn.initializers.lecun_normal(),
+        (kh, kw, x.shape[-1], self.features),
+    )
+    zero_bias = jnp.zeros((self.features,), jnp.float32)
+    return qconv.conv2d_q8(
+        x, kernel, zero_bias, (self.strides, self.strides)
+    )
+
+
+def _conv_layer(features, kernel_size, strides, name, quantized):
+  """nn.Conv (full precision) or its int8 twin, same parameter path."""
+  if quantized:
+    return _QConv(features, kernel_size, strides=strides, name=name)
+  return nn.Conv(
+      features,
+      kernel_size,
+      strides=strides,
+      use_bias=False,
+      padding="SAME",
+      name=name,
+  )
 
 
 def _make_norm(normalization: Optional[str], name: str, axis_name=None):
@@ -68,6 +116,7 @@ class BlockV2(nn.Module):
   bottleneck: bool
   normalization: Optional[str]
   bn_axis_name: Optional[str] = None
+  quantized: bool = False
 
   @nn.compact
   def __call__(self, x: Array, is_training: bool = False) -> Array:
@@ -107,14 +156,14 @@ class BlockV2(nn.Module):
           h = norm(h)
       h = jax.nn.relu(h)
       if i == 0 and self.use_projection:
-        shortcut = nn.Conv(
+        shortcut = _conv_layer(
             self.channels,
             (1, 1),
             strides=self.stride,
-            use_bias=False,
             name="proj_conv",
+            quantized=self.quantized,
         )(h)
-      h = nn.Conv(use_bias=False, padding="SAME", **conv_kwargs)(h)
+      h = _conv_layer(quantized=self.quantized, **conv_kwargs)(h)
     return h + shortcut
 
 
@@ -127,6 +176,7 @@ class BlockV1(nn.Module):
   bottleneck: bool
   normalization: Optional[str]
   bn_axis_name: Optional[str] = None
+  quantized: bool = False
 
   @nn.compact
   def __call__(self, x: Array, is_training: bool = False) -> Array:
@@ -157,18 +207,18 @@ class BlockV1(nn.Module):
 
     shortcut = x
     if self.use_projection:
-      shortcut = nn.Conv(
+      shortcut = _conv_layer(
           self.channels,
           (1, 1),
           strides=self.stride,
-          use_bias=False,
           name="proj_conv",
+          quantized=self.quantized,
       )(shortcut)
       shortcut = apply_norm(shortcut, "proj_norm")
 
     h = x
     for i, conv_kwargs in enumerate(convs):
-      h = nn.Conv(use_bias=False, padding="SAME", **conv_kwargs)(h)
+      h = _conv_layer(quantized=self.quantized, **conv_kwargs)(h)
       h = apply_norm(h, f"norm_{i}")
       if i < len(convs) - 1:
         h = jax.nn.relu(h)
@@ -223,6 +273,7 @@ class ResNet(nn.Module):
             bottleneck=cfg.bottleneck,
             normalization=cfg.normalization,
             bn_axis_name=self.bn_axis_name,
+            quantized=cfg.quantized,
             name=f"group_{g}_block_{b}",
         )(x, is_training)
       outputs[f"group_{g}"] = x

@@ -18,30 +18,32 @@ the dequantized surrogate.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
 
-def _conv(x, kernel, dtype_out):
+def _conv(x, kernel, dtype_out, strides):
   return jax.lax.conv_general_dilated(
       x,
       kernel,
-      window_strides=(1, 1),
+      window_strides=strides,
       padding="SAME",
       dimension_numbers=("NHWC", "HWIO", "NHWC"),
       preferred_element_type=dtype_out,
   )
 
 
-def conv2d_fp_math(x, kernel, bias):
+def conv2d_fp_math(x, kernel, bias, strides=(1, 1)):
   """Plain SAME conv + bias, fp32 accumulation, IO in x.dtype."""
-  y = _conv(x, kernel.astype(x.dtype), jnp.float32)
+  y = _conv(x, kernel.astype(x.dtype), jnp.float32, strides)
   return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def conv2d_q8_math(x, kernel, bias):
+def conv2d_q8_math(x, kernel, bias, strides=(1, 1)):
   """w8a8 formulation: quantize activations per frame, weights per
   output channel, accumulate int32 on the MXU, dequantize in fp32."""
   kf = kernel.astype(jnp.float32)
@@ -54,34 +56,38 @@ def conv2d_q8_math(x, kernel, bias):
   xs = jnp.maximum(x_amax, 1e-8) * (1.0 / 127.0)  # [N, 1, 1, 1]
   xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
 
-  acc = _conv(xq, wq, jnp.int32)
+  acc = _conv(xq, wq, jnp.int32, strides)
   y = acc.astype(jnp.float32) * (xs * ws) + bias.astype(jnp.float32)
   return y.astype(x.dtype)
 
 
-@jax.custom_vjp
-def conv2d_q8(x, kernel, bias):
-  """3x3/SAME int8 convolution with straight-through backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv2d_q8(x, kernel, bias, strides=(1, 1)):
+  """SAME int8 convolution with straight-through backward.
 
   Args:
     x: [N, H, W, C_in] activations (any float dtype).
     kernel: [kh, kw, C_in, C_out] full-precision weights (quantized on the
       fly; XLA hoists the weight quantization out of loops since it only
       depends on loop-invariant params).
-    bias: [C_out].
+    bias: [C_out]. Pass zeros for bias-free convs (folds into the
+      dequantize epilogue at no cost).
+    strides: spatial window strides (static).
 
   Returns:
-    [N, H, W, C_out], same dtype as x.
+    [N, H', W', C_out], same dtype as x.
   """
-  return conv2d_q8_math(x, kernel, bias)
+  return conv2d_q8_math(x, kernel, bias, strides)
 
 
-def _q8_fwd(x, kernel, bias):
-  return conv2d_q8(x, kernel, bias), (x, kernel, bias)
+def _q8_fwd(strides, x, kernel, bias):
+  return conv2d_q8(x, kernel, bias, strides), (x, kernel, bias)
 
 
-def _q8_bwd(res, g):
-  _, vjp = jax.vjp(conv2d_fp_math, *res)
+def _q8_bwd(strides, res, g):
+  _, vjp = jax.vjp(
+      lambda *a: conv2d_fp_math(*a, strides=strides), *res
+  )
   return vjp(g)
 
 
