@@ -80,8 +80,10 @@ def conv2d_q8(x, kernel, bias, strides=(1, 1)):
   return conv2d_q8_math(x, kernel, bias, strides)
 
 
-def _q8_fwd(strides, x, kernel, bias):
-  return conv2d_q8(x, kernel, bias, strides), (x, kernel, bias)
+def _q8_fwd(x, kernel, bias, strides):
+  # With nondiff_argnums, JAX passes the fwd rule the ORIGINAL argument
+  # order (nondiff args are prepended only for the bwd rule).
+  return conv2d_q8_math(x, kernel, bias, strides), (x, kernel, bias)
 
 
 def _q8_bwd(strides, res, g):

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tapnet_tpu.models import layers
+from tapnet_tpu.models import resnet
 from tapnet_tpu.ops import qconv
 
 
@@ -47,6 +48,23 @@ class TestConv2dQ8:
     out_q, vjp_q = jax.vjp(qconv.conv2d_q8, x, k, b)
     _, vjp_f = jax.vjp(qconv.conv2d_fp_math, x, k, b)
     rng = np.random.RandomState(3)
+    g = jnp.asarray(rng.randn(*out_q.shape).astype(np.float32))
+    for a, c in zip(vjp_q(g), vjp_f(g)):
+      np.testing.assert_allclose(a, c, atol=1e-6, rtol=1e-6)
+
+  def test_strided_backward_matches_fp(self):
+    # Regression test for the custom_vjp fwd signature: with
+    # nondiff_argnums, JAX passes the fwd rule the ORIGINAL argument order
+    # (nondiff args are prepended only for bwd). A fwd written with strides
+    # first silently binds kernel=bias and crashes every differentiation of
+    # a strided conv2d_q8 (the r3 snapshot regression).
+    x, k, b = make_inputs()
+    f_q = lambda *a: qconv.conv2d_q8(*a, strides=(2, 2))
+    f_f = lambda *a: qconv.conv2d_fp_math(*a, strides=(2, 2))
+    out_q, vjp_q = jax.vjp(f_q, x, k, b)
+    out_f, vjp_f = jax.vjp(f_f, x, k, b)
+    assert out_q.shape == out_f.shape
+    rng = np.random.RandomState(4)
     g = jnp.asarray(rng.randn(*out_q.shape).astype(np.float32))
     for a, c in zip(vjp_q(g), vjp_f(g)):
       np.testing.assert_allclose(a, c, atol=1e-6, rtol=1e-6)
@@ -94,3 +112,81 @@ class TestQuantizedExtraConvs:
     q = model_q.apply({"params": params}, x)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(q - ref))) < 0.05 * scale
+
+  def test_gradient_through_quantized_stack(self):
+    # The STE keeps training usable with quantization active: gradients
+    # through the full quantized stack must exist, be finite, and track the
+    # full-precision gradients (not exactly — intermediate activations
+    # differ slightly, so downstream cotangents do too).
+    model_f, params, x = self._params_and_input(False)
+    model_q, _, _ = self._params_and_input(True)
+    rng = np.random.RandomState(5)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * rng.randn(*a.shape).astype(np.float32), params
+    )
+    loss_q = lambda p: jnp.sum(model_q.apply({"params": p}, x) ** 2)
+    loss_f = lambda p: jnp.sum(model_f.apply({"params": p}, x) ** 2)
+    gq = jax.grad(loss_q)(params)
+    gf = jax.grad(loss_f)(params)
+    leaves_q = jax.tree_util.tree_leaves(gq)
+    leaves_f = jax.tree_util.tree_leaves(gf)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves_q)
+    for a, c in zip(leaves_q, leaves_f):
+      denom = float(jnp.max(jnp.abs(c))) + 1e-6
+      assert float(jnp.max(jnp.abs(a - c))) < 0.1 * denom
+
+
+class TestQuantizedBackbone:
+  """ResNetConfig.quantized=True (the TAPIR quantized_backbone mode)."""
+
+  _CFG = dict(
+      blocks_per_group=(1, 1),
+      channels_per_group=(8, 16),
+      use_projection=(True, True),
+      strides=(1, 2),
+  )
+
+  def _model(self, quantized):
+    return resnet.ResNet(
+        resnet.ResNetConfig(quantized=quantized, **self._CFG)
+    )
+
+  def _input(self):
+    rng = np.random.RandomState(7)
+    return jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+
+  def test_param_tree_identical_across_modes(self):
+    x = self._input()
+    pf = self._model(False).init(jax.random.PRNGKey(0), x)["params"]
+    pq = self._model(True).init(jax.random.PRNGKey(0), x)["params"]
+    sf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pf)
+    sq = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pq)
+    assert sf == sq
+
+  def test_quantized_forward_close_and_strided(self):
+    x = self._input()
+    mf, mq = self._model(False), self._model(True)
+    params = mf.init(jax.random.PRNGKey(0), x)["params"]
+    ref = mf.apply({"params": params}, x)
+    q = mq.apply({"params": params}, x)
+    assert set(ref) == set(q)
+    for name in ref:
+      assert ref[name].shape == q[name].shape  # strided blocks line up
+      scale = float(jnp.max(jnp.abs(ref[name]))) + 1e-6
+      err = float(jnp.max(jnp.abs(q[name] - ref[name])))
+      assert err < 0.1 * scale, (name, err, scale)
+
+  def test_gradients_finite(self):
+    # Exercises the strided custom_vjp path end-to-end (group 1 here has
+    # stride 2, as groups 1-2 do in the TAPIR backbone).
+    x = self._input()
+    mq = self._model(True)
+    params = mq.init(jax.random.PRNGKey(0), x)["params"]
+    loss = lambda p: sum(
+        jnp.sum(v**2) for v in mq.apply({"params": p}, x).values()
+    )
+    grads = jax.grad(loss)(params)
+    assert all(
+        bool(jnp.all(jnp.isfinite(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
