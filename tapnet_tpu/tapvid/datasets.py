@@ -165,6 +165,53 @@ def create_davis_dataset(
     }
 
 
+def create_kubric_dataset(
+    data_dir: str,
+    query_mode: str = "strided",
+    train_size: Tuple[int, int] = (256, 256),
+    max_dataset_size: Optional[int] = None,
+) -> Iterable[DatasetElement]:
+  """Kubric-format eval reader: held-out (or capped training) synthetic data.
+
+  The reference evaluates on Kubric batches from its external TFDS pipeline
+  (`create_kubric_eval_dataset` / `create_kubric_eval_train_dataset`,
+  evaluation_datasets.py:441-487; capped at 100 examples for the train
+  variant). This framework's Kubric format is a directory of npz files
+  (see tapnet_tpu.data.kubric): video uint8 [T, H, W, 3], target_points
+  [N, T, 2] (x, y) raster at video resolution, occluded [N, T] bool.
+  Files are read in sorted order so the eval set is deterministic; queries
+  are resampled with the standard first/strided protocol (the reference's
+  randomly-sampled training queries would make eval numbers noisy).
+  """
+  paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+  if not paths:
+    raise ValueError(f"No npz files in {data_dir}")
+  if max_dataset_size is not None:
+    paths = paths[:max_dataset_size]
+  for path in paths:
+    with np.load(path) as z:
+      frames = z["video"]
+      target_points = z["target_points"].astype(np.float32)
+      occluded = z["occluded"]
+    src_hw = frames.shape[1:3]
+    if tuple(src_hw) != tuple(train_size):
+      frames = resize_video(frames, tuple(train_size))
+    frames = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
+    # npz points are raster at the stored video resolution (not the
+    # normalized [0, 1] convention of the pickle benchmarks).
+    target_points = target_points * np.array(
+        [train_size[1] / src_hw[1], train_size[0] / src_hw[0]],
+        dtype=np.float32,
+    )
+    if query_mode == "strided":
+      example = sample_queries_strided(occluded, target_points, frames)
+    elif query_mode == "first":
+      example = sample_queries_first(occluded, target_points, frames)
+    else:
+      raise ValueError(f"Unknown query mode {query_mode!r}")
+    yield {"kubric": example}
+
+
 def create_rgb_stacking_dataset(
     robotics_points_path: str,
     query_mode: str = "strided",

@@ -130,7 +130,63 @@ DATASET_BUILDERS = {
     "kinetics": lambda path, mode: tapvid_datasets.create_kinetics_dataset(
         path, query_mode=mode
     ),
+    # Held-out synthetic data in the training format (the reference's
+    # eval_kubric mode, supervised_point_prediction.py:686-693); data_path
+    # is a directory of Kubric npz files.
+    "kubric": lambda path, mode: tapvid_datasets.create_kubric_dataset(
+        path, query_mode=mode
+    ),
 }
+
+
+def make_eval_fn(
+    model,
+    dataset_builder: Callable[[], Iterable],
+    query_mode: str = "strided",
+    query_chunk_size: int = 16,
+    max_videos: Optional[int] = None,
+):
+  """Builds a `Trainer.fit(eval_fn=...)` hook from any dataset reader.
+
+  The reference runs in-train eval epochs over kubric/davis readers
+  (experiment.py:193-197 -> supervised_point_prediction.py:660-733); here
+  the same shape: `eval_fn(state)` runs the model with the state's current
+  params over `dataset_builder()` and returns mean TAP-Vid metrics ready
+  for the telemetry sink. The jitted forward is compiled once and reused
+  across calls (params are jit arguments).
+
+  Example (the reference's eval_kubric mode):
+    eval_fn = make_eval_fn(
+        model,
+        lambda: tapvid_datasets.create_kubric_dataset(val_dir, "strided"),
+    )
+    trainer.fit(state, data, steps, eval_fn=eval_fn, evaluate_every=1000)
+  """
+  from tapnet_tpu import inference
+
+  predictor_box = []
+
+  def eval_fn(state) -> Mapping[str, float]:
+    params = getattr(state, "params", state)
+    if not predictor_box:
+      predictor_box.append(
+          inference.TapirPredictor(
+              params, model.config, query_chunk_size=query_chunk_size
+          )
+      )
+    predictor = predictor_box[0]
+    predictor.params = params
+    return dict(
+        evaluate_dataset(
+            predictor,
+            dataset_builder(),
+            query_mode,
+            max_videos=max_videos,
+            verbose=False,
+        )
+    )
+
+  return eval_fn
 
 
 def main():

@@ -40,6 +40,112 @@ class TestReaders:
     assert ex["query_points"].shape[-1] == 3
 
 
+def make_kubric_dir(tmp_path, num_examples=2, t=4, h=32, w=40, n=5):
+  rng = np.random.RandomState(1)
+  d = tmp_path / "kubric"
+  d.mkdir()
+  for i in range(num_examples):
+    pts = rng.rand(n, t, 2).astype(np.float32) * np.array([w, h])
+    np.savez(
+        d / f"ex_{i:03d}.npz",
+        video=(rng.rand(t, h, w, 3) * 255).astype(np.uint8),
+        target_points=pts,
+        occluded=rng.rand(n, t) > 0.8,
+    )
+  return str(d)
+
+
+class TestKubricEval:
+  """The reference's eval_kubric mode (evaluation_datasets.py:441-487)."""
+
+  def test_kubric_reader(self, tmp_path):
+    path = make_kubric_dir(tmp_path)
+    examples = list(
+        datasets.create_kubric_dataset(
+            path, query_mode="first", train_size=(16, 16)
+        )
+    )
+    assert len(examples) == 2
+    ex = examples[0]["kubric"]
+    assert ex["video"].shape[0] == 1
+    assert ex["video"].shape[2:] == (16, 16, 3)
+    assert ex["video"].min() >= -1.0 and ex["video"].max() <= 1.0
+    # npz points are raster at video resolution; reader rescales to the
+    # eval resolution.
+    assert ex["target_points"].max() <= 16.0
+    assert ex["query_points"].shape[-1] == 3
+
+  def test_reader_is_deterministic_and_capped(self, tmp_path):
+    path = make_kubric_dir(tmp_path, num_examples=3)
+    a = list(datasets.create_kubric_dataset(path, "strided", (16, 16)))
+    b = list(datasets.create_kubric_dataset(path, "strided", (16, 16)))
+    assert len(a) == 3
+    np.testing.assert_array_equal(
+        a[1]["kubric"]["query_points"], b[1]["kubric"]["query_points"]
+    )
+    capped = list(
+        datasets.create_kubric_dataset(
+            path, "strided", (16, 16), max_dataset_size=2
+        )
+    )
+    assert len(capped) == 2
+
+  def test_in_train_eval_logs_aj_to_jsonl(self, tmp_path):
+    # Trainer.fit(eval_fn=make_eval_fn(...)) evaluates on held-out kubric
+    # batches and logs AJ to the JSONL sink (the reference's in-train
+    # eval_kubric epoch, experiment.py:193-197).
+    import json
+
+    import jax
+    from tapnet_tpu.data import synthetic
+    from tapnet_tpu.models import tapir as tapir_lib
+    from tapnet_tpu.parallel import mesh as mesh_lib
+    from tapnet_tpu.training import optimizers, trainer
+
+    path = make_kubric_dir(tmp_path, num_examples=1, t=3, h=32, w=32)
+    config = tapir_lib.TapirConfig(
+        num_mixer_blocks=2,
+        num_pips_iter=1,
+        pyramid_level=0,
+        initial_resolution=(32, 32),
+        blocks_per_group=(1, 1, 1, 1),
+    )
+    model = tapir_lib.TAPIR(config=config)
+    eval_fn = evaluate.make_eval_fn(
+        model,
+        lambda: datasets.create_kubric_dataset(
+            path, query_mode="first", train_size=(32, 32)
+        ),
+        query_mode="first",
+        query_chunk_size=8,
+    )
+    t = trainer.Trainer(
+        model,
+        optimizers.OptimizerConfig(base_lr=1e-3, warmup_steps=2),
+        total_steps=4,
+        task=trainer.TaskConfig(train_chunk_size=4),
+        mesh=mesh_lib.make_mesh(model_parallel=2),
+        checkpoint_path=str(tmp_path / "ckpt.npz"),
+        checkpoint_every=0,
+    )
+    data = synthetic.batch_iterator(
+        seed=3, batch_size=4, num_frames=3, height=32, width=32,
+        num_queries=8,
+    )
+    state = t.init_state(next(data))
+    t.fit(
+        state, data, num_steps=2, log_every=0,
+        eval_fn=eval_fn, evaluate_every=2,
+    )
+    records = [
+        json.loads(line) for line in open(t.log_path, encoding="utf-8")
+    ]
+    evals = [r for r in records if r["kind"] == "eval"]
+    assert len(evals) == 1
+    assert 0.0 <= evals[0]["average_jaccard"] <= 1.0
+    assert evals[0]["step"] == 2
+
+
 class TestEvaluateHarness:
 
   def test_oracle_predictor_gets_perfect_metrics(self, tmp_path):
