@@ -107,16 +107,16 @@ def _math_reference(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
   return y
 
 
-def _kernel(
-    x_ref, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, g2_ref, w1_ref, b1_ref,
-    w2_ref, b2_ref, *rest, k, mult, causal, t_real, quantized=False,
-):
-  if quantized:
-    # int8 path carries two extra per-column weight-scale operands.
-    s1_ref, s2_ref, y_ref = rest
-  else:
-    (y_ref,) = rest
-  x = x_ref[0]  # [T_pad, C]; rows >= t_real are zero padding.
+def _qrows(v):
+  """Symmetric per-row int8 quantization (same formulas as mixer_math)."""
+  amax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True), 1e-8)
+  q = jnp.clip(jnp.round(v * (127.0 / amax)), -127.0, 127.0)
+  return q.astype(jnp.int8), amax * (1.0 / 127.0)
+
+
+def _temporal_half(x, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, k, mult,
+                   causal, t_real):
+  """VPU: LN1 -> temporal depthwise pair -> residual. Returns x + dwconv."""
   t, c = x.shape
   # With >= k-1 trailing zero rows (guaranteed by _pallas_forward), the
   # per-tap boundary masks are unnecessary: in-range shifted reads land on
@@ -131,15 +131,14 @@ def _kernel(
   xf = x.astype(jnp.float32)
   mu = jnp.mean(xf, axis=-1, keepdims=True)
   var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-  xn = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g1_ref[:].astype(jnp.float32)
-  xn = xn.astype(x.dtype)
+  xn32 = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g1_ref[:].astype(jnp.float32)
   tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
   valid = tidx < t_real
   if halo:
     # The halo path READS pad rows (instead of masking every shifted read),
     # so they must be exact zeros even if the caller left garbage there:
     # one [T, C] select replaces 2k [T, mult*C] select chains.
-    xn = jnp.where(valid, xn, jnp.zeros_like(xn))
+    xn32 = jnp.where(valid, xn32, jnp.zeros_like(xn32))
 
   # ---- Temporal depthwise conv -> GELU -> depthwise conv; the mult
   # hidden lanes live as ONE [T, mult*C] tensor (mult channel-blocks along
@@ -158,12 +157,20 @@ def _kernel(
 
   off = k - 1 if causal else (k - 1) // 2
   # Weights come in m-major flat layout [k, mult*C] / [mult*C] (see
-  # _pallas_forward), matching xn tiled mult times along lanes.
-  xn32 = xn.astype(jnp.float32)
-  xr = jnp.concatenate([xn32] * mult, axis=-1)  # [T, mult*C]
-  h = jnp.zeros((t, mult * c), jnp.float32) + bu_ref[:].astype(jnp.float32)
-  for j in range(k):
-    h = h + shifted(xr, j - off) * wu_ref[j].astype(jnp.float32)
+  # _pallas_forward). The first conv's input is xn tiled mult times along
+  # lanes — shift the [T, C] input once per tap and fan each shifted read
+  # out to the mult channel blocks (k rolls of C lanes instead of mult*C).
+  taps = [shifted(xn32, j - off) for j in range(k)]
+  bu = bu_ref[:].astype(jnp.float32)
+  blocks = []
+  for m in range(mult):
+    hm_blk = bu[m * c : (m + 1) * c]
+    for j in range(k):
+      hm_blk = hm_blk + taps[j] * wu_ref[j, m * c : (m + 1) * c].astype(
+          jnp.float32
+      )
+    blocks.append(hm_blk)
+  h = jnp.concatenate(blocks, axis=-1)  # [T, mult*C]
   # Mask so padded rows don't leak gelu(bias) — or, on the halo path,
   # roll-wraparound garbage — into real rows via the second conv's shifts.
   hm = jnp.where(valid, jax.nn.gelu(h), 0.0)
@@ -174,42 +181,138 @@ def _kernel(
   folded = bm_ref[:].astype(jnp.float32)
   for m in range(mult):
     folded = folded + acc[:, m * c : (m + 1) * c]
-  x = x + folded.astype(x.dtype)
+  return x + folded.astype(x.dtype)
 
-  # ---- LN 2 + channel MLP + residual.
+
+def _mlp_operand(x, g2_ref, quantized):
+  """VPU: LN 2 (+ activation quantization on the int8 path).
+
+  Returns (mlp_input, act_scale_or_None): the channel-MLP operand (int8
+  when quantized, x.dtype otherwise) and its per-row activation scale.
+  """
   xf = x.astype(jnp.float32)
   mu = jnp.mean(xf, axis=-1, keepdims=True)
   var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
   xn32 = (xf - mu) * jax.lax.rsqrt(var + _EPS) * g2_ref[:].astype(jnp.float32)
   if quantized:
-    # w8a8: symmetric per-row dynamic activation scales, per-column weight
-    # scales (computed outside the kernel), int32 MXU accumulation. Same
-    # formulas as mixer_math.mlp_math_q8.
-    def _qrows(v):
-      amax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True), 1e-8)
-      q = jnp.clip(jnp.round(v * (127.0 / amax)), -127.0, 127.0)
-      return q.astype(jnp.int8), amax * (1.0 / 127.0)
+    return _qrows(xn32)
+  return xn32.astype(x.dtype), None
 
-    xq, xs = _qrows(xn32)
-    acc = jnp.dot(xq, w1_ref[:], preferred_element_type=jnp.int32)
-    h = acc.astype(jnp.float32) * (xs * s1_ref[:]) + b1_ref[:].astype(
+
+def _stage1(x, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, g2_ref, k, mult,
+            causal, t_real, quantized):
+  """VPU stage: LN1 -> temporal depthwise pair -> residual -> LN2 (+quant)."""
+  x1 = _temporal_half(
+      x, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, k, mult, causal, t_real
+  )
+  mlp_in, xs = _mlp_operand(x1, g2_ref, quantized)
+  return mlp_in, xs, x1
+
+
+def _mlp_hidden(acc_or_h, xs, b1_ref, s1_ref, out_dtype, quantized):
+  """VPU middle of the MLP: dequant + bias + GELU (+ re-quantization)."""
+  if quantized:
+    h = acc_or_h.astype(jnp.float32) * (xs * s1_ref[:]) + b1_ref[:].astype(
         jnp.float32
     )
-    hq, hs = _qrows(jax.nn.gelu(h))
-    acc2 = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+    return _qrows(jax.nn.gelu(h))
+  h = jax.nn.gelu(
+      acc_or_h + b1_ref[:].astype(jnp.float32)
+  ).astype(out_dtype)
+  return h, None
+
+
+def _mlp_epilogue(acc2, hs, x, b2_ref, s2_ref, t_real, quantized):
+  """VPU tail: dequant + bias + residual add + output padding mask."""
+  t = x.shape[0]
+  if quantized:
     y = acc2.astype(jnp.float32) * (hs * s2_ref[:]) + b2_ref[:].astype(
         jnp.float32
     )
-    y = y.astype(x.dtype)
   else:
-    xn = xn32.astype(x.dtype)
-    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
-    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    y = (y + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+    y = acc2 + b2_ref[:].astype(jnp.float32)
+  y = y.astype(x.dtype)
+  tidx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
   # Keep padding rows exactly zero so pre-padded inputs compose across a
   # block stack (the stack pads T once instead of per block).
-  y_ref[0] = jnp.where(valid, x + y, jnp.zeros_like(x))
+  return jnp.where(tidx < t_real, x + y, jnp.zeros_like(x))
+
+
+def _stage2(mlp_in, xs, x, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
+            t_real, quantized):
+  """MXU stage: channel MLP (+ residual add, + output padding mask).
+
+  w8a8 path: symmetric per-row dynamic activation scales, per-column weight
+  scales (computed outside the kernel), int32 MXU accumulation. Same
+  formulas as mixer_math.mlp_math_q8.
+  """
+  acc_dtype = jnp.int32 if quantized else jnp.float32
+  acc = jnp.dot(mlp_in, w1_ref[:], preferred_element_type=acc_dtype)
+  hq, hs = _mlp_hidden(acc, xs, b1_ref, s1_ref, x.dtype, quantized)
+  acc2 = jnp.dot(hq, w2_ref[:], preferred_element_type=acc_dtype)
+  return _mlp_epilogue(acc2, hs, x, b2_ref, s2_ref, t_real, quantized)
+
+
+def _kernel(
+    x_ref, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, g2_ref, w1_ref, b1_ref,
+    w2_ref, b2_ref, *rest, k, mult, causal, t_real, quantized=False,
+):
+  """Software-pipelined body: grid runs B+1 steps; step i does the
+  VPU-heavy stage 1 for row i and the MXU-heavy channel MLP for row i-1
+  (whose stage-1 products wait in VMEM scratch). The two halves are
+  independent straight-line code with the matmuls issued textually ahead
+  of independent VPU work, giving Mosaic's scheduler the chance to
+  overlap them. Measured win is real but modest — 15.4 -> 14.9 ms (bf16)
+  and 12.9 -> 12.7 ms (int8) per 12-block call at the 480p production
+  shape [128, 250(pad 256), 512] (scratch/bench_q8_mixer.py) — the
+  kernel remains VPU-bound (stage 1 alone is 12.3 ms bf16 / 7.0 ms int8,
+  scratch/bench_pipeline_mixer.py), so the big lever is shrinking the
+  VPU stage, not reordering it.
+
+  Scratch reads precede scratch writes textually, so one buffer suffices:
+  the anti-dependency keeps loads ahead of this step's stores without
+  serializing the compute chains.
+  """
+  if quantized:
+    # int8 path carries two extra per-column weight-scale operands.
+    s1_ref, s2_ref, y_ref, min_ref, xs_ref, xr_ref = rest
+  else:
+    s1_ref = s2_ref = xs_ref = None
+    y_ref, min_ref, xr_ref = rest
+
+  # Stage-2 operands produced by the previous grid step (garbage at i=0;
+  # that step's output block is overwritten at i=1 before copy-out).
+  mlp_in_prev = min_ref[:]
+  xs_prev = xs_ref[:] if quantized else None
+  x_prev = xr_ref[:]
+  acc_dtype = jnp.int32 if quantized else jnp.float32
+
+  # MXU: first matmul for row i-1 — issued before the VPU block below so
+  # the in-order schedule has it in flight while the VPU works.
+  acc1 = jnp.dot(mlp_in_prev, w1_ref[:], preferred_element_type=acc_dtype)
+
+  # VPU: LN1 + temporal depthwise pair + residual for row i.
+  x = x_ref[0]  # [T_pad, C]; rows >= t_real are zero padding.
+  x1 = _temporal_half(
+      x, g1_ref, wu_ref, bu_ref, wm_ref, bm_ref, k, mult, causal, t_real
+  )
+
+  # VPU (consumes acc1): dequant + GELU (+ re-quantization) for row i-1,
+  # then MXU: second matmul — again issued ahead of independent VPU work.
+  hq, hs = _mlp_hidden(acc1, xs_prev, b1_ref, s1_ref, x.dtype, quantized)
+  acc2 = jnp.dot(hq, w2_ref[:], preferred_element_type=acc_dtype)
+
+  # VPU: LN2 (+ quantize) for row i; park stage-1 products in scratch.
+  mlp_in, xs = _mlp_operand(x1, g2_ref, quantized)
+  min_ref[:] = mlp_in
+  if quantized:
+    xs_ref[:] = xs
+  xr_ref[:] = x1
+
+  # VPU tail (consumes acc2): epilogue + output write for row i-1.
+  y_ref[0] = _mlp_epilogue(
+      acc2, hs, x_prev, b2_ref, s2_ref, t_real, quantized
+  )
 
 
 def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
@@ -241,11 +344,16 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
     x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
   t = x.shape[1]
 
-  row = lambda i: (i, 0, 0)
+  # Pipelined grid: b+1 steps. Step i runs stage 1 on row min(i, b-1) and
+  # stage 2 on row i-1 (clamped); the clamps make the first/last steps
+  # compute harmless extra work instead of branching (pl.when regions are
+  # separate basic blocks, which would defeat the VPU/MXU interleave).
+  in_row = lambda i: (jnp.minimum(i, b - 1), 0, 0)
+  out_row = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
 
   operands = [x, g1, wu2, bu1, wm2, bm1, g2]
   in_specs = [
-      pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, t, c), in_row, memory_space=pltpu.VMEM),
       pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
       pl.BlockSpec((k, mult * c), lambda i: (0, 0),
                    memory_space=pltpu.VMEM),
@@ -278,15 +386,26 @@ def _pallas_forward(x, g1, wu, bu, wm, bm, g2, w1, b1, w2, b2, causal,
         pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
     ]
 
+  # Scratch carrying stage-1 products across one grid step: the channel-MLP
+  # operand, (int8 path) its per-row activation scale, and the residual
+  # stream the MLP output adds onto.
+  scratch_shapes = [
+      pltpu.VMEM((t, c), jnp.int8 if quantized else x.dtype),
+  ]
+  if quantized:
+    scratch_shapes.append(pltpu.VMEM((t, 1), jnp.float32))
+  scratch_shapes.append(pltpu.VMEM((t, c), x.dtype))
+
   out = pl.pallas_call(
       functools.partial(
           _kernel, k=k, mult=mult, causal=causal, t_real=t_real,
           quantized=quantized,
       ),
-      grid=(b,),
+      grid=(b + 1,),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((1, t, c), row, memory_space=pltpu.VMEM),
+      out_specs=pl.BlockSpec((1, t, c), out_row, memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+      scratch_shapes=scratch_shapes,
       # The resident weights (w1/w2: 4 MB bf16 at production C=512) plus the
       # kernel's fp32 temporaries exceed XLA's default 16 MB scoped-vmem
       # budget; v5e has 128 MB of physical VMEM.
