@@ -23,6 +23,9 @@ class DataConfig:
   num_queries: int = 256
   num_frames: int = 24
   color_augment: bool = True
+  # TAPNext++ roll/homography camera-jitter augmentation
+  # (reference tapnet/tapnextpp/augmentations/{roll,homography}.py).
+  geometric_augment: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +49,13 @@ class ExperimentConfig:
 
       return tapnext.TAPNextTracker(config=self.model_config)
     raise ValueError(f"Unknown model kind {self.model_kind!r}")
+
+  @property
+  def loss_builder(self):
+    """Per-model-kind loss for Trainer (None = the default TAPIR loss)."""
+    if self.model_kind == "tapnext":
+      return trainer.tapnext_loss_builder
+    return None
 
 
 def tapir_experiment(**overrides) -> ExperimentConfig:
@@ -125,12 +135,46 @@ def tapnext_experiment(variant: str = "B", **overrides) -> ExperimentConfig:
   return ExperimentConfig(**kwargs)
 
 
+def tapnextpp_experiment(variant: str = "B", **overrides) -> ExperimentConfig:
+  """TAPNext++ long-video fine-tune recipe.
+
+  The reference ships the result of this recipe but not the loop
+  (tapnet/tapnextpp/README.md:9-16: fine-tuned from TAPNext on 1024-frame
+  sequences with roll/homography camera-jitter augmentations). Here the
+  recipe exists as a preset: long clips, geometric + color augmentation,
+  a fine-tune learning rate with short warmup, and fewer steps. Start from
+  a converted TAPNext checkpoint via --checkpoint_dir / restore_or_init.
+  """
+  kwargs = dict(
+      name=f"tapnextpp_{variant}",
+      model_kind="tapnext",
+      model_config=ssm_vit.variant_config(variant),
+      optimizer=optimizers.OptimizerConfig(
+          base_lr=1e-4, weight_decay=1e-1, warmup_steps=500
+      ),
+      task=trainer.TaskConfig(),
+      # 1024-frame clips: the SSM is recurrent over time, attention
+      # per-frame, so activation memory is linear in T; batch 1 per replica.
+      data=DataConfig(
+          num_frames=1024,
+          num_queries=64,
+          batch_size=1,
+          geometric_augment=True,
+      ),
+      total_steps=20_000,
+      evaluate_every=2_000,
+  )
+  kwargs.update(overrides)
+  return ExperimentConfig(**kwargs)
+
+
 REGISTRY = {
     "tapir": tapir_experiment,
     "tapnet": tapnet_experiment,
     "causal_tapir": causal_tapir_experiment,
     "bootstapir": bootstapir_experiment,
     "tapnext": tapnext_experiment,
+    "tapnextpp": tapnextpp_experiment,
 }
 
 

@@ -92,7 +92,12 @@ def prepare_batch(
 
 
 class KubricNpzReader:
-  """Double-buffered host reader over a directory of Kubric npz examples."""
+  """Double-buffered host reader over a directory of Kubric npz examples.
+
+  `example_transform`, if given, maps one loaded example dict (video
+  [T, H, W, 3], target_points [N, T, 2], occluded [N, T]) to another —
+  the hook for per-example geometric augmentation (TAPNext++ roll /
+  homography, reference tapnet/tapnextpp/augmentations/)."""
 
   def __init__(
       self,
@@ -100,23 +105,28 @@ class KubricNpzReader:
       batch_size: int,
       seed: int = 0,
       prefetch: int = 2,
+      example_transform=None,
   ):
     self.paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
     if not self.paths:
       raise ValueError(f"No npz files in {data_dir}")
     self.batch_size = batch_size
     self.rng = np.random.RandomState(seed)
+    self.example_transform = example_transform
     self._queue: queue_lib.Queue = queue_lib.Queue(maxsize=prefetch)
     self._thread = threading.Thread(target=self._worker, daemon=True)
     self._thread.start()
 
   def _load(self, path: str) -> Mapping[str, np.ndarray]:
     with np.load(path) as z:
-      return {
+      example = {
           "video": z["video"],
           "target_points": z["target_points"],
           "occluded": z["occluded"],
       }
+    if self.example_transform is not None:
+      example = self.example_transform(example)
+    return example
 
   def _worker(self):
     while True:
@@ -134,16 +144,56 @@ class KubricNpzReader:
     return self._queue.get()
 
 
+def geometric_augmentation(seed: int = 0, strength: float = 1.0):
+  """Per-example TAPNext++ roll + homography augmentation transform.
+
+  The reference applies sinusoidal camera roll and perspective jitter when
+  fine-tuning TAPNext++ on long clips (tapnet/tapnextpp/augmentations/
+  {roll,homography}.py). Returns an `example_transform` for KubricNpzReader:
+  it adapts between the Kubric layout (target_points [N, T, 2], uint8 video)
+  and the augmentations' {"video", "tracks" [T, N, 2]} dict, warping frames
+  on device and transforming trajectories with the same homographies.
+  Occlusion flags are kept as-is (points warped outside the frame are
+  handled by the loss's visibility weighting, as in the reference).
+  """
+  roll = augmentations.RollAugmentation(seed=seed)
+  homog = augmentations.HomographyAugmentation(seed=seed + 1)
+
+  def transform(example):
+    tracks = np.transpose(
+        np.asarray(example["target_points"], np.float32), (1, 0, 2)
+    )
+    data = {"video": np.asarray(example["video"], np.float32),
+            "tracks": tracks}
+    data = homog(roll(data))
+    video = np.clip(np.round(data["video"]), 0, 255).astype(np.uint8)
+    return dict(
+        example,
+        video=video,
+        target_points=np.transpose(data["tracks"], (1, 0, 2)),
+    )
+
+  return transform
+
+
 def training_iterator(
     data_dir: str,
     batch_size: int,
     train_size: Tuple[int, int] = (256, 256),
     num_queries: int = 256,
     color_augment: bool = True,
+    geometric_augment: bool = False,
     seed: int = 0,
 ) -> Iterator[Mapping[str, Array]]:
   """Host reads + device-side preparation, ready for Trainer.fit."""
-  reader = KubricNpzReader(data_dir, batch_size, seed=seed)
+  reader = KubricNpzReader(
+      data_dir,
+      batch_size,
+      seed=seed,
+      example_transform=(
+          geometric_augmentation(seed=seed) if geometric_augment else None
+      ),
+  )
   rng = jax.random.PRNGKey(seed)
   for batch in reader:
     rng, key = jax.random.split(rng)

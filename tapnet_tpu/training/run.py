@@ -16,7 +16,7 @@ def main():
   parser.add_argument(
       "--experiment", default="tapir",
       help="registry name: tapir / tapnet / causal_tapir / bootstapir / "
-      "tapnext",
+      "tapnext / tapnextpp",
   )
   parser.add_argument("--data_dir", default=None,
                       help="directory of Kubric-format npz examples")
@@ -89,6 +89,7 @@ def main():
         train_size=exp.data.train_size,
         num_queries=exp.data.num_queries,
         color_augment=exp.data.color_augment,
+        geometric_augment=exp.data.geometric_augment,
     )
 
   ckpt_path = (
@@ -104,6 +105,7 @@ def main():
       mesh=mesh_lib.make_mesh(model_parallel=args.model_parallel),
       checkpoint_path=ckpt_path,
       checkpoint_every=args.checkpoint_every,
+      loss_builder=exp.loss_builder,
   )
   state = t.restore_or_init(next(iter([next(data)])))
   state = t.fit(state, data, num_steps=num_steps, log_every=args.log_every)

@@ -36,6 +36,21 @@ class TestConfigs:
     with pytest.raises(ValueError):
       configs.get_experiment("nope")
 
+  def test_tapnextpp_recipe(self):
+    # The TAPNext++ long-video fine-tune preset
+    # (reference tapnet/tapnextpp/README.md:9-16).
+    from tapnet_tpu.training import trainer
+
+    exp = configs.get_experiment("tapnextpp")
+    assert exp.model_kind == "tapnext"
+    assert exp.data.num_frames == 1024
+    assert exp.data.geometric_augment
+    assert exp.loss_builder is trainer.tapnext_loss_builder
+    assert exp.optimizer.base_lr < configs.get_experiment(
+        "tapnext"
+    ).optimizer.base_lr  # fine-tune LR
+    assert exp.build_model() is not None
+
 
 class TestKubricIngest:
 
@@ -76,6 +91,58 @@ class TestKubricIngest:
         )
     # Points rescaled to train resolution.
     assert tp.max() <= 16.0 + 1e-4
+
+  def test_training_iterator_geometric_augment(self, tmp_path):
+    # The TAPNext++ roll/homography path: batches keep the contract
+    # (shapes, query-on-visible-frame, query==target at query frame) with
+    # camera jitter applied to video AND trajectories.
+    path = self.make_npz_dir(tmp_path)
+    it = kubric.training_iterator(
+        path, batch_size=2, train_size=(16, 16), num_queries=5,
+        color_augment=False, geometric_augment=True, seed=7,
+    )
+    batch = next(it)
+    assert batch["video"].shape == (2, 4, 16, 16, 3)
+    qp = np.asarray(batch["query_points"])
+    tp = np.asarray(batch["target_points"])
+    occ = np.asarray(batch["occluded"])
+    for b in range(2):
+      for q in range(5):
+        t = int(qp[b, q, 0])
+        assert occ[b, q, t] == 0.0
+        np.testing.assert_allclose(
+            qp[b, q, 1:], tp[b, q, t][::-1], rtol=1e-4, atol=1e-4
+        )
+
+  def test_geometric_transform_moves_tracks_with_video(self, tmp_path):
+    # A white dot tracked by a point: after roll+homography warping the
+    # transformed track must still sit on the dot.
+    t, h, w = 4, 48, 48
+    video = np.zeros((t, h, w, 3), np.uint8)
+    pos = np.array([[24.0, 24.0]] * t, np.float32)  # (x, y) per frame
+    for i in range(t):
+      x, y = int(pos[i, 0]), int(pos[i, 1])
+      video[i, y - 1 : y + 2, x - 1 : x + 2] = 255
+    example = {
+        "video": video,
+        "target_points": pos[None],  # [N=1, T, 2]
+        "occluded": np.zeros((1, t), bool),
+    }
+    transform = kubric.geometric_augmentation(seed=3)
+    out = transform(example)
+    assert out["video"].dtype == np.uint8
+    assert out["video"].shape == video.shape
+    moved = False
+    for i in range(t):
+      x, y = out["target_points"][0, i]
+      if not (1 <= x < w - 1 and 1 <= y < h - 1):
+        continue  # warped out of frame
+      patch = out["video"][i, int(y) - 2 : int(y) + 3,
+                           int(x) - 2 : int(x) + 3]
+      assert patch.max() > 100, f"frame {i}: track lost the dot"
+      if not np.allclose(out["target_points"][0, i], pos[i], atol=0.5):
+        moved = True
+    assert moved, "augmentation did not move anything (seed picked identity)"
 
 
 class TestKubricConvert:

@@ -255,6 +255,45 @@ class TestTapnextTraining:
     assert np.isfinite(float(scalars["loss"]))
     assert "coordinate_loss" in scalars
 
+  def test_tapnextpp_preset_sharded_step(self):
+    # The TAPNext++ fine-tune preset executes a sharded train step at tiny
+    # shapes (long-clip settings shrunk; loss_builder comes from the
+    # preset, not hand-wired).
+    import dataclasses
+
+    from tapnet_tpu import configs
+    from tapnet_tpu.models import ssm_vit
+
+    exp = configs.get_experiment(
+        "tapnextpp",
+        model_config=ssm_vit.SsmVitConfig(
+            width=32, depth=1, mlp_dim=64, num_heads=2,
+            patch_size=(1, 8, 8), image_size=(32, 32),
+        ),
+    )
+    exp = dataclasses.replace(
+        exp,
+        data=dataclasses.replace(
+            exp.data, num_frames=3, num_queries=8, batch_size=4,
+            train_size=(32, 32),
+        ),
+    )
+    t = trainer.Trainer(
+        exp.build_model(),
+        dataclasses.replace(exp.optimizer, warmup_steps=1),
+        total_steps=2,
+        task=exp.task,
+        mesh=mesh_lib.make_mesh(model_parallel=2),
+        loss_builder=exp.loss_builder,
+    )
+    batch = tiny_batch()
+    state = t.init_state(batch)
+    state, scalars = t.step_fn(
+        state, mesh_lib.shard_batch(batch, t.mesh), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(scalars["loss"]))
+    assert "coordinate_loss" in scalars
+
 
 class TestContrastiveLoss:
 
