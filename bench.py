@@ -36,6 +36,20 @@ import numpy as np
 BASELINE_POINTS_FRAMES_PER_SEC = 17.0 * 8.0
 # North-star target (BASELINE.json): 1024q x 250f @480p in < 1 s.
 NORTH_STAR_TARGET_S = 1.0
+# TPU v5e peak: 197 TFLOP/s bf16 (394 TOP/s int8). MFU below is
+# model-FLOPs (XLA cost analysis of the compiled forward) / wall / peak.
+PEAK_BF16_FLOPS = 197e12
+
+
+def _model_flops(fn, *args):
+  """Total FLOPs of one compiled forward, from XLA's cost analysis."""
+  try:
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+      cost = cost[0]
+    return float(cost["flops"])
+  except Exception:
+    return None
 
 
 def _emit(record):
@@ -295,12 +309,19 @@ def bench_bootstapir_480p():
   stats = profiling.benchmark_stats(
       forward, video, query_points, iters_per_measure=1, num_measures=4
   )
+  flops = _model_flops(forward, video, query_points)
+  mfu = (
+      round(flops / stats["median"] / PEAK_BF16_FLOPS, 4) if flops else None
+  )
   record = {
       "metric": "bootstapir_480p_1024q_250f_wall_s",
       "value": round(stats["median"], 4),
       "unit": "s/video (1024 queries x 250 frames @480p, one chip)",
       "vs_baseline": round(NORTH_STAR_TARGET_S / stats["median"], 3),
+      "mfu": mfu,
       "config": {
+          "model_tflops": round(flops / 1e12, 2) if flops else None,
+          "mfu_peak_flops": PEAK_BF16_FLOPS,
           "frames": frames,
           "queries": queries,
           "resolution": res,
@@ -360,12 +381,19 @@ def bench_bootstapir_480p_fast():
   stats = profiling.benchmark_stats(
       forward, video, query_points, iters_per_measure=1, num_measures=4
   )
+  flops = _model_flops(forward, video, query_points)
+  mfu = (
+      round(flops / stats["median"] / PEAK_BF16_FLOPS, 4) if flops else None
+  )
   record = {
       "metric": "bootstapir_480p_fast_int8_wall_s",
       "value": round(stats["median"], 4),
       "unit": "s/video (1024 queries x 250 frames @480p, one chip)",
       "vs_baseline": round(NORTH_STAR_TARGET_S / stats["median"], 3),
+      "mfu": mfu,  # vs the bf16 peak; int8 ops run at 2x that rate
       "config": {
+          "model_tflops": round(flops / 1e12, 2) if flops else None,
+          "mfu_peak_flops": PEAK_BF16_FLOPS,
           "frames": frames,
           "queries": queries,
           "resolution": res,
