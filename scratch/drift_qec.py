@@ -138,6 +138,21 @@ def main():
       f"visibility flips: {flips*100:.3f}% of point-frames",
       flush=True,
   )
+  # Does the model's own confidence flag the catastrophic tail? TAPIR's
+  # visibility = (1-sig(occ))*(1-sig(expd)) > 0.5 (reference
+  # model_utils.py:376-389); if the >48px flips carry low fp-config
+  # confidence, production filtering already discards them.
+  conf_f = (1.0 / (1.0 + np.exp(occ_f)))  # P(visible) per fp occ logit
+  tail = dpos > 48.0
+  if tail.any():
+    print(
+        f"fp-config P(visible) on the >48px tail: "
+        f"p50 {np.percentile(conf_f[tail], 50):.3f} "
+        f"p90 {np.percentile(conf_f[tail], 90):.3f} "
+        f"(all points p50 {np.percentile(conf_f, 50):.3f}); "
+        f"frac of tail fp-visible: {(occ_f[tail] < 0).mean()*100:.1f}%",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
