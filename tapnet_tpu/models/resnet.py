@@ -14,7 +14,7 @@ axis of the device mesh when one is active (the reference's cross-replica BN).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -38,46 +38,15 @@ class ResNetConfig:
   stem_channels: int = 64
   stem_kernel: int = 7
   stem_stride: int = 2
-  # Inference speed mode: run the residual-block convolutions (incl.
-  # projections) in w8a8 int8 (ops/qconv.py; 2x MXU rate on v5e, int32
-  # accumulation, straight-through backward). The stem conv stays full
-  # precision: its 3-channel input pads to 128 MXU lanes either way, and
-  # first-layer quantization is the most accuracy-sensitive. Norms, relus
-  # and residual adds stay in the compute dtype. The parameter tree is
-  # identical to the full-precision model, so checkpoints load in either
-  # mode. Opt-in; drift documented in PERFORMANCE.md.
-  quantized: bool = False
+  # NOTE: an int8 (w8a8) backbone mode existed briefly and was REMOVED after
+  # end-to-end measurement (scratch/bench_fast_variants.py): the backbone is
+  # HBM-bound (group0 at ~70% HBM / 22% MXU), so the 1.7x int8 conv rate
+  # from the microbenchmark bought nothing — 1.094 -> 1.098 s on the fast
+  # 480p config and 1.622 -> 1.654 s on the default config. See
+  # PERFORMANCE.md dead ends.
 
 
-class _QConv(nn.Module):
-  """Bias-free w8a8 int8 conv with an nn.Conv-identical parameter tree
-  (kernel [kh, kw, C_in, C_out] under the module name), so released
-  checkpoints load interchangeably with the full-precision blocks."""
-
-  features: int
-  kernel_size: Tuple[int, int]
-  strides: int = 1
-
-  @nn.compact
-  def __call__(self, x: Array) -> Array:
-    from tapnet_tpu.ops import qconv
-
-    kh, kw = self.kernel_size
-    kernel = self.param(
-        "kernel",
-        nn.initializers.lecun_normal(),
-        (kh, kw, x.shape[-1], self.features),
-    )
-    zero_bias = jnp.zeros((self.features,), jnp.float32)
-    return qconv.conv2d_q8(
-        x, kernel, zero_bias, (self.strides, self.strides)
-    )
-
-
-def _conv_layer(features, kernel_size, strides, name, quantized):
-  """nn.Conv (full precision) or its int8 twin, same parameter path."""
-  if quantized:
-    return _QConv(features, kernel_size, strides=strides, name=name)
+def _conv_layer(features, kernel_size, strides, name):
   return nn.Conv(
       features,
       kernel_size,
@@ -116,7 +85,6 @@ class BlockV2(nn.Module):
   bottleneck: bool
   normalization: Optional[str]
   bn_axis_name: Optional[str] = None
-  quantized: bool = False
 
   @nn.compact
   def __call__(self, x: Array, is_training: bool = False) -> Array:
@@ -161,9 +129,8 @@ class BlockV2(nn.Module):
             (1, 1),
             strides=self.stride,
             name="proj_conv",
-            quantized=self.quantized,
         )(h)
-      h = _conv_layer(quantized=self.quantized, **conv_kwargs)(h)
+      h = _conv_layer(**conv_kwargs)(h)
     return h + shortcut
 
 
@@ -176,7 +143,6 @@ class BlockV1(nn.Module):
   bottleneck: bool
   normalization: Optional[str]
   bn_axis_name: Optional[str] = None
-  quantized: bool = False
 
   @nn.compact
   def __call__(self, x: Array, is_training: bool = False) -> Array:
@@ -212,13 +178,12 @@ class BlockV1(nn.Module):
           (1, 1),
           strides=self.stride,
           name="proj_conv",
-          quantized=self.quantized,
       )(shortcut)
       shortcut = apply_norm(shortcut, "proj_norm")
 
     h = x
     for i, conv_kwargs in enumerate(convs):
-      h = _conv_layer(quantized=self.quantized, **conv_kwargs)(h)
+      h = _conv_layer(**conv_kwargs)(h)
       h = apply_norm(h, f"norm_{i}")
       if i < len(convs) - 1:
         h = jax.nn.relu(h)
@@ -273,7 +238,6 @@ class ResNet(nn.Module):
             bottleneck=cfg.bottleneck,
             normalization=cfg.normalization,
             bn_axis_name=self.bn_axis_name,
-            quantized=cfg.quantized,
             name=f"group_{g}_block_{b}",
         )(x, is_training)
       outputs[f"group_{g}"] = x

@@ -88,12 +88,9 @@ class TapirConfig:
   # MXU floor; int8 runs it at ~1.7x. LayerNorms/GELUs/residuals stay in
   # compute_dtype. Opt-in; drift documented in PERFORMANCE.md.
   quantized_extra_convs: bool = False
-  # Inference speed mode: run the ResNet residual-block convolutions in
-  # w8a8 int8 (the stem conv and all InstanceNorms/relus stay full
-  # precision — see resnet.ResNetConfig.quantized). The backbone is the
-  # largest non-kernel block of the 480p budget (~0.32 s of convolutions).
-  # Opt-in; drift documented in PERFORMANCE.md.
-  quantized_backbone: bool = False
+  # NOTE: a quantized_backbone (w8a8 ResNet) mode existed briefly and was
+  # REMOVED after end-to-end measurement showed no win (the backbone is
+  # HBM-bound, not MXU-bound) — see PERFORMANCE.md dead ends.
 
   @property
   def dtype(self):
@@ -333,7 +330,6 @@ class TAPIR(nn.Module):
         resnet_v2=True,
         normalization="instancenorm",
         use_max_pool=False,
-        quantized=cfg.quantized_backbone,
     )
     self.backbone = nn.remat(resnet_lib.ResNet)(config=backbone_cfg)
     if cfg.extra_convs:

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tapnet_tpu.models import layers
-from tapnet_tpu.models import resnet
 from tapnet_tpu.ops import qconv
 
 
@@ -134,59 +133,3 @@ class TestQuantizedExtraConvs:
     for a, c in zip(leaves_q, leaves_f):
       denom = float(jnp.max(jnp.abs(c))) + 1e-6
       assert float(jnp.max(jnp.abs(a - c))) < 0.1 * denom
-
-
-class TestQuantizedBackbone:
-  """ResNetConfig.quantized=True (the TAPIR quantized_backbone mode)."""
-
-  _CFG = dict(
-      blocks_per_group=(1, 1),
-      channels_per_group=(8, 16),
-      use_projection=(True, True),
-      strides=(1, 2),
-  )
-
-  def _model(self, quantized):
-    return resnet.ResNet(
-        resnet.ResNetConfig(quantized=quantized, **self._CFG)
-    )
-
-  def _input(self):
-    rng = np.random.RandomState(7)
-    return jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
-
-  def test_param_tree_identical_across_modes(self):
-    x = self._input()
-    pf = self._model(False).init(jax.random.PRNGKey(0), x)["params"]
-    pq = self._model(True).init(jax.random.PRNGKey(0), x)["params"]
-    sf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pf)
-    sq = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pq)
-    assert sf == sq
-
-  def test_quantized_forward_close_and_strided(self):
-    x = self._input()
-    mf, mq = self._model(False), self._model(True)
-    params = mf.init(jax.random.PRNGKey(0), x)["params"]
-    ref = mf.apply({"params": params}, x)
-    q = mq.apply({"params": params}, x)
-    assert set(ref) == set(q)
-    for name in ref:
-      assert ref[name].shape == q[name].shape  # strided blocks line up
-      scale = float(jnp.max(jnp.abs(ref[name]))) + 1e-6
-      err = float(jnp.max(jnp.abs(q[name] - ref[name])))
-      assert err < 0.1 * scale, (name, err, scale)
-
-  def test_gradients_finite(self):
-    # Exercises the strided custom_vjp path end-to-end (group 1 here has
-    # stride 2, as groups 1-2 do in the TAPIR backbone).
-    x = self._input()
-    mq = self._model(True)
-    params = mq.init(jax.random.PRNGKey(0), x)["params"]
-    loss = lambda p: sum(
-        jnp.sum(v**2) for v in mq.apply({"params": p}, x).values()
-    )
-    grads = jax.grad(loss)(params)
-    assert all(
-        bool(jnp.all(jnp.isfinite(g)))
-        for g in jax.tree_util.tree_leaves(grads)
-    )
