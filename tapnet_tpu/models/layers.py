@@ -396,32 +396,50 @@ class PipsMixer(nn.Module):
     )
 
 
-class _Conv3x3(nn.Module):
-  """3x3/SAME conv with an optional w8a8 int8 forward.
-
-  Parameter names and shapes match `nn.Conv` exactly (kernel [3, 3, in, out],
-  bias [out]) so released checkpoints load identically in either mode. The
-  quantized path (ops/qconv.py) runs the MXU at 2x with a straight-through
-  backward; it is an inference-time opt-in, like `quantized_mixer`.
-  """
+class _LnBiasParams(nn.Module):
+  """scale+bias params under `<name>/{scale,bias}` — identical tree to
+  nn.LayerNorm(use_bias=True)."""
 
   features: int
-  quantized: bool = False
+
+  @nn.compact
+  def __call__(self):
+    return (
+        self.param("scale", nn.initializers.ones, (self.features,)),
+        self.param("bias", nn.initializers.zeros, (self.features,)),
+    )
+
+
+class _ConvParams(nn.Module):
+  """kernel+bias params under `<name>/{kernel,bias}` — identical tree to
+  nn.Conv / _Conv3x3."""
+
+  kernel_shape: Tuple[int, int, int, int]
   kernel_init: nn.initializers.Initializer = (
       nn.initializers.lecun_normal()
   )
 
   @nn.compact
-  def __call__(self, x: Array) -> Array:
-    from tapnet_tpu.ops import qconv
-
-    kernel = self.param(
-        "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features)
+  def __call__(self):
+    return (
+        self.param("kernel", self.kernel_init, self.kernel_shape),
+        self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],)
+        ),
     )
-    bias = self.param("bias", nn.initializers.zeros, (self.features,))
-    if self.quantized:
-      return qconv.conv2d_q8(x, kernel, bias)
-    return qconv.conv2d_fp_math(x, kernel, bias)
+
+
+def _ln_with_bias(x: Array, scale: Array, bias: Array,
+                  eps: float = 1e-5) -> Array:
+  """Functional LayerNorm with scale AND bias (same math as flax
+  nn.LayerNorm(use_bias=True): fp32 single-pass statistics)."""
+  xf = x.astype(jnp.float32)
+  mu = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+  out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(
+      jnp.float32
+  ) + bias.astype(jnp.float32)
+  return out.astype(x.dtype)
 
 
 class ExtraConvs(nn.Module):
@@ -430,11 +448,17 @@ class ExtraConvs(nn.Module):
   and zero-initialised output convs. NOTE: the LayerNorm (with offset) sits
   in the *main* path — each layer normalizes x before adding the residual.
 
-  `quantized=True` runs the convolutions in w8a8 int8 (per-frame dynamic
-  activation scales, per-output-channel weight scales, int32 MXU
-  accumulation); LayerNorms, GELUs and the residual stream stay full
-  precision. At the 480p north-star workload this stack is ~43 TFLOP near
-  the bf16 MXU floor; int8 runs it at ~1.7x (measured, PERFORMANCE.md).
+  On TPU at production sizes each layer runs as ONE fused Pallas kernel
+  (ops/fused_extra_convs.py): LN, both 3x3 convs (as 9 shifted matmuls on
+  a padded flattened frame) and the GELU with the 4x hidden resident in
+  VMEM — the XLA path is bounded by the hidden's HBM round-trips, not the
+  MXU (PERFORMANCE.md r4).
+
+  `quantized=True` runs the convolutions in w8a8 int8 (per-output-channel
+  weight scales, int32 MXU accumulation — 2x MXU rate on v5e); LayerNorms,
+  GELUs and the residual stream stay full precision. Activation scales are
+  per-pixel on the fused path (finer, only expressible there) and
+  per-frame on the unfused fallback (ops/qconv.py).
   """
 
   num_layers: int = 5
@@ -444,25 +468,36 @@ class ExtraConvs(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
+    from tapnet_tpu.ops import fused_extra_convs, qconv
+
     # x: [T, H, W, C] (single video) or [B*T, H, W, C] when use_tsm=False.
+    c = x.shape[-1]
     for i in range(self.num_layers):
-      x = layer_norm(x, f"ln_{i}", use_bias=True)
+      g, b_ln = _LnBiasParams(c, name=f"ln_{i}")()
+      in_ch = 3 * c if self.use_tsm else c
+      wu, bu = _ConvParams(
+          (3, 3, in_ch, c * self.channel_multiplier), name=f"conv_up_{i}"
+      )()
+      wo, bo = _ConvParams(
+          (3, 3, c * self.channel_multiplier, c),
+          kernel_init=nn.initializers.zeros,
+          name=f"conv_out_{i}",
+      )()
+
+      if not self.use_tsm and fused_extra_convs.wants_fused(x, self.quantized):
+        x = fused_extra_convs.extra_convs_layer(
+            x, g, b_ln, wu, bu, wo, bo, self.quantized
+        )
+        continue
+
+      x = _ln_with_bias(x, g, b_ln)
       if self.use_tsm:
         prev = jnp.concatenate([x[0:1], x[:-1]], axis=0)
         nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
         resid = jnp.concatenate([x, prev, nxt], axis=-1)
       else:
         resid = x
-      resid = _Conv3x3(
-          x.shape[-1] * self.channel_multiplier,
-          quantized=self.quantized,
-          name=f"conv_up_{i}",
-      )(resid)
-      resid = jax.nn.gelu(resid)
-      x = x + _Conv3x3(
-          x.shape[-1],
-          quantized=self.quantized,
-          kernel_init=nn.initializers.zeros,
-          name=f"conv_out_{i}",
-      )(resid)
+      conv = qconv.conv2d_q8 if self.quantized else qconv.conv2d_fp_math
+      resid = jax.nn.gelu(conv(resid, wu, bu))
+      x = x + conv(resid, wo, bo)
     return x
