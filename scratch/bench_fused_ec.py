@@ -46,12 +46,15 @@ def main():
       for i in range(5)
   ]
 
-  def stack_fused(x, quantized):
+  # Weights as ARGUMENTS: closure constants inline ~47 MB of literals into
+  # the MLIR and made remote Mosaic compiles pathologically slow
+  # (PERFORMANCE.md "params are jit arguments, never closures").
+  def stack_fused(x, weights, quantized):
     for wset in weights:
       x = fec.extra_convs_layer(x, *wset, quantized)
     return x
 
-  def stack_unfused(x, quantized):
+  def stack_unfused(x, weights, quantized):
     conv = qconv.conv2d_q8 if quantized else qconv.conv2d_fp_math
     for g, bln, wu, bu, wo, bo in weights:
       t = layers._ln_with_bias(x, g, bln)
@@ -59,14 +62,17 @@ def main():
       x = t + conv(r, wo, bo)
     return x
 
-  for tag, fn, q in [
-      ("unfused/bf16", stack_unfused, False),
-      ("fused/bf16", stack_fused, False),
+  cases = [
       ("unfused/int8", stack_unfused, True),
       ("fused/int8", stack_fused, True),
-  ]:
+      ("unfused/bf16", stack_unfused, False),
+      ("fused/bf16", stack_fused, False),
+  ]
+  if "--int8-only" in sys.argv:
+    cases = cases[:2]
+  for tag, fn, q in cases:
     stats = profiling.benchmark_stats(
-        lambda v, fn=fn, q=q: fn(v, q), x,
+        lambda v, w, fn=fn, q=q: fn(v, w, q), x, weights,
         iters_per_measure=4, num_measures=3,
     )
     print(
@@ -76,11 +82,12 @@ def main():
     )
 
   # Numerics check on device (fused vs unfused bf16).
-  a = np.asarray(stack_fused(x, False), np.float32)
-  b = np.asarray(stack_unfused(x, False), np.float32)
-  scale = np.abs(b).max()
-  print(f"bf16 fused-vs-unfused maxabs {np.abs(a-b).max():.4f} "
-        f"(scale {scale:.1f})", flush=True)
+  if "--int8-only" not in sys.argv:
+    a = np.asarray(stack_fused(x, weights, False), np.float32)
+    b = np.asarray(stack_unfused(x, weights, False), np.float32)
+    scale = np.abs(b).max()
+    print(f"bf16 fused-vs-unfused maxabs {np.abs(a-b).max():.4f} "
+          f"(scale {scale:.1f})", flush=True)
 
 
 if __name__ == "__main__":

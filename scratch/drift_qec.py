@@ -91,10 +91,16 @@ def run(params, qec):
 
 
 def main():
+  import sys
+
+  mode = sys.argv[1] if len(sys.argv) > 1 else "True"
+  qec = {"True": True, "per_pixel": "per_pixel"}[mode]
+  print(f"=== quantized_extra_convs={qec!r} vs full precision ===",
+        flush=True)
   model = tapir_lib.TAPIR(config=tapir_lib.bootstapir_config())
   params = make_params(model)
   tr_f, occ_f, s1_f = run(params, False)
-  tr_q, occ_q, s1_q = run(params, True)
+  tr_q, occ_q, s1_q = run(params, qec)
   dpos = np.linalg.norm(tr_q - tr_f, axis=-1)
   print(
       f"track drift px @480p (qec vs fp convs): mean {dpos.mean():.3f} "

@@ -448,28 +448,33 @@ class ExtraConvs(nn.Module):
   and zero-initialised output convs. NOTE: the LayerNorm (with offset) sits
   in the *main* path — each layer normalizes x before adding the residual.
 
-  On TPU at production sizes each layer runs as ONE fused Pallas kernel
-  (ops/fused_extra_convs.py): LN, both 3x3 convs (as 9 shifted matmuls on
-  a padded flattened frame) and the GELU with the 4x hidden resident in
-  VMEM — the XLA path is bounded by the hidden's HBM round-trips, not the
-  MXU (PERFORMANCE.md r4).
-
-  `quantized=True` runs the convolutions in w8a8 int8 (per-output-channel
+  `quantized` selects the w8a8 int8 inference mode (per-output-channel
   weight scales, int32 MXU accumulation — 2x MXU rate on v5e); LayerNorms,
-  GELUs and the residual stream stay full precision. Activation scales are
-  per-pixel on the fused path (finer, only expressible there) and
-  per-frame on the unfused fallback (ops/qconv.py).
+  GELUs and the residual stream stay full precision everywhere:
+
+    False        full-precision convolutions (exact).
+    True         per-FRAME activation scales via XLA int8 convs
+                 (ops/qconv.py) — the fastest mode; its feature error can
+                 flip near-tied stage-1 cost-volume peaks (drift tail,
+                 PERFORMANCE.md).
+    "per_pixel"  per-PIXEL activation scales via the fused Pallas layer
+                 kernel (ops/fused_extra_convs.py; only a tap-decomposed
+                 kernel can dequantize per-pixel scales exactly) — sits
+                 between True and False in both speed and accuracy
+                 (measured: 167 / 199 / 245 ms for the 5-layer 480p
+                 stack).
   """
 
   num_layers: int = 5
   channel_multiplier: int = 4
   use_tsm: bool = False
-  quantized: bool = False
+  quantized: "bool | str" = False
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     from tapnet_tpu.ops import fused_extra_convs, qconv
 
+    per_pixel = self.quantized == "per_pixel"
     # x: [T, H, W, C] (single video) or [B*T, H, W, C] when use_tsm=False.
     c = x.shape[-1]
     for i in range(self.num_layers):
@@ -484,9 +489,9 @@ class ExtraConvs(nn.Module):
           name=f"conv_out_{i}",
       )()
 
-      if not self.use_tsm and fused_extra_convs.wants_fused(x, self.quantized):
+      if not self.use_tsm and fused_extra_convs.wants_fused(x, per_pixel):
         x = fused_extra_convs.extra_convs_layer(
-            x, g, b_ln, wu, bu, wo, bo, self.quantized
+            x, g, b_ln, wu, bu, wo, bo, True
         )
         continue
 
@@ -497,6 +502,8 @@ class ExtraConvs(nn.Module):
         resid = jnp.concatenate([x, prev, nxt], axis=-1)
       else:
         resid = x
+      # per_pixel falls back to the per-frame scheme below the fused-size
+      # gate / off-TPU (the per-pixel contraction needs the kernel).
       conv = qconv.conv2d_q8 if self.quantized else qconv.conv2d_fp_math
       resid = jax.nn.gelu(conv(resid, wu, bu))
       x = x + conv(resid, wo, bo)

@@ -83,11 +83,14 @@ class TapirConfig:
   # is documented in PERFORMANCE.md.
   quantized_mixer: bool = False
   # Inference speed mode: run the ExtraConvs stack (BootsTAPIR) in w8a8 int8
-  # (per-frame dynamic activation scales, per-output-channel weight scales,
-  # int32 MXU accumulation). At 480p ExtraConvs is ~43 TFLOP near the bf16
-  # MXU floor; int8 runs it at ~1.7x. LayerNorms/GELUs/residuals stay in
-  # compute_dtype. Opt-in; drift documented in PERFORMANCE.md.
-  quantized_extra_convs: bool = False
+  # (per-output-channel weight scales, int32 MXU accumulation). At 480p
+  # ExtraConvs is ~43 TFLOP near the bf16 MXU floor; int8 runs it at ~1.7x.
+  # LayerNorms/GELUs/residuals stay in compute_dtype. True = per-frame
+  # activation scales (fastest); "per_pixel" = per-pixel scales via the
+  # fused Pallas kernel — tighter quantization error at ~60% of the int8
+  # speedup (see layers.ExtraConvs and PERFORMANCE.md for the measured
+  # speed/drift ladder). Opt-in.
+  quantized_extra_convs: "bool | str" = False
   # NOTE: a quantized_backbone (w8a8 ResNet) mode existed briefly and was
   # REMOVED after end-to-end measurement showed no win (the backbone is
   # HBM-bound, not MXU-bound) — see PERFORMANCE.md dead ends.

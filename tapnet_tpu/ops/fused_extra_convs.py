@@ -57,18 +57,20 @@ _MIN_FUSED_ELEMENTS = 4 * 1024 * 1024
 _EPS = 1e-5
 
 
-def wants_fused(x, quantized: bool = False) -> bool:
+def wants_fused(x, per_pixel: bool = False) -> bool:
   """Gate: 4-D [N, H, W, C] activations, big enough, lane-aligned C.
 
-  int8 mode only: for bf16, XLA's native conv already runs within ~15% of
-  the MXU floor at the production shape and the fused kernel measured
-  SLOWER (245 vs 293 ms for the 5-layer 480p stack,
-  scratch/bench_fused_ec.py) — the win lives in eliminating the int8
-  quantize/dequant HBM sweeps, which only exist in the quantized mode.
+  The kernel is used ONLY for the per-pixel int8 mode — its value is the
+  finer quantization (only a tap-decomposed kernel can dequantize
+  per-pixel scales exactly), not speed. Measured on the 5-layer 480p
+  stack (scratch/bench_fused_ec.py): bf16 fused LOSES 293 vs 245 ms
+  (XLA's conv is already within ~15% of the MXU floor) and per-frame-int8
+  fused LOSES 199 vs 167 ms (XLA overlaps its quantize/dequant HBM sweeps
+  with MXU work; the kernel's serial VPU+MXU schedule does not).
   """
   return (
       bool(ENABLED)
-      and quantized
+      and per_pixel
       and x.ndim == 4
       and x.size >= _MIN_FUSED_ELEMENTS
       and x.shape[-1] % 128 == 0

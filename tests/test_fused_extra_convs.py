@@ -135,15 +135,15 @@ class TestExtraConvsModule:
     assert float(jnp.abs(params["conv_up_0"]["kernel"]).max()) > 0.0
 
   def test_fused_module_path_matches_reference(self, force_interpret):
-    # Force the quantized module through the fused gate by lowering the
-    # size threshold; it must compute the per-pixel kernel scheme — i.e.
-    # match a manually composed stack of fec._math_reference layers.
+    # Force the per-pixel module mode through the fused gate by lowering
+    # the size threshold; it must compute the per-pixel kernel scheme —
+    # i.e. match a manually composed stack of fec._math_reference layers.
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, 6, 6, 128).astype(np.float32) * 0.5)
     old = fec._MIN_FUSED_ELEMENTS
     fec._MIN_FUSED_ELEMENTS = 1
     try:
-      out_fused, params = self._apply(x, quantized=True)
+      out_fused, params = self._apply(x, quantized="per_pixel")
     finally:
       fec._MIN_FUSED_ELEMENTS = old
     # Perturb-free manual reference on the same params.
@@ -159,5 +159,6 @@ class TestExtraConvsModule:
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
-    # And the bf16/default module must NOT take the fused gate.
+    # Only the per-pixel mode takes the fused gate (bf16: XLA conv is near
+    # the MXU floor; per-frame int8: XLA's overlapped path is faster).
     assert not fec.wants_fused(x, False)
