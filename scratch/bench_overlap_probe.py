@@ -37,7 +37,7 @@ def _kernel(x_ref, w_ref, v_ref, y_ref, z_ref, *, mode):
   v = v_ref[0]  # [T, H] bf16 (independent VPU stream)
 
   acc = None
-  if mode in ("mxu", "both"):
+  if mode in ("mxu", "both", "both_roll"):
     acc = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
 
   if mode in ("vpu", "both"):
@@ -46,10 +46,20 @@ def _kernel(x_ref, w_ref, v_ref, y_ref, z_ref, *, mode):
     for _ in range(G_PASSES):
       out = jax.nn.gelu(out) + vf * 0.5
     z_ref[0] = out.astype(v.dtype)
+  elif mode in ("vpu_roll", "both_roll"):
+    # Mimic the mixer's stage 1: cross-lane LN reductions + sublane rolls
+    # + FMAs — do these contend with the MXU where plain gelu does not?
+    vf = v.astype(jnp.float32)
+    mu = jnp.mean(vf, axis=-1, keepdims=True)
+    var = jnp.mean(vf * vf, axis=-1, keepdims=True) - mu * mu
+    out = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+    for j in range(1, 7):
+      out = out + pltpu.roll(vf, j, axis=0) * 0.1
+    z_ref[0] = out.astype(v.dtype)
   else:
     z_ref[0] = v
 
-  if mode in ("mxu", "both"):
+  if mode in ("mxu", "both", "both_roll"):
     for _ in range(K_DOTS - 1):
       acc = acc + jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
     y_ref[0] = acc[:, :C].astype(x.dtype)
@@ -90,7 +100,7 @@ def main():
   )
   v = jnp.asarray(rng.randn(B, T, H).astype(np.float32)).astype(jnp.bfloat16)
 
-  for mode in ("mxu", "vpu", "both"):
+  for mode in ("mxu", "vpu", "both", "vpu_roll", "both_roll"):
     stats = profiling.benchmark_stats(
         lambda a, b, c, m=mode: run(a, b, c, m)[0], x, w, v,
         iters_per_measure=10, num_measures=3,
