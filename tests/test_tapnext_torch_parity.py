@@ -192,3 +192,40 @@ class TestPosembInterpolationParity:
     pe = rng.randn(1, 64, 8).astype(np.float32)
     out = tapnext_checkpoint._resize_posemb(pe, (8, 8), "pos_embedding")
     np.testing.assert_array_equal(out, pe)
+
+
+class TestTorchStateDictImport:
+  """torch .pt -> Flax params (tapnext_torch_import): TAPNext++ weights are
+  released only as torch state dicts (reference tapnextpp/README.md)."""
+
+  def test_state_dict_round_trip(self, pair):
+    from tapnet_tpu.checkpoints import tapnext_torch_import
+
+    model, params, tmodel = pair
+    flat_orig = tapnext_checkpoint.flatten(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    flat_imported = tapnext_torch_import.state_dict_to_flat_jax(
+        tmodel.state_dict(), num_heads=12
+    )
+    assert set(flat_imported) == set(flat_orig)
+    for k in sorted(flat_orig):
+      np.testing.assert_allclose(
+          flat_imported[k], flat_orig[k], rtol=1e-6, atol=1e-6, err_msg=k
+      )
+
+  def test_load_pt_file(self, pair, tmp_path):
+    from tapnet_tpu.checkpoints import tapnext_torch_import
+
+    model, params, tmodel = pair
+    path = str(tmp_path / "tapnext.pt")
+    # Released checkpoints commonly wrap the state dict.
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+    imported = tapnext_torch_import.load_tapnext_torch_checkpoint(path)
+    video, qp = make_inputs(seed=3)
+    a = model.apply({"params": params}, jnp.asarray(video), jnp.asarray(qp))
+    b = model.apply({"params": imported}, jnp.asarray(video),
+                    jnp.asarray(qp))
+    np.testing.assert_allclose(
+        np.asarray(a.tracks), np.asarray(b.tracks), rtol=1e-5, atol=1e-5
+    )
