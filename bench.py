@@ -37,12 +37,18 @@ BASELINE_POINTS_FRAMES_PER_SEC = 17.0 * 8.0
 # North-star target (BASELINE.json): 1024q x 250f @480p in < 1 s.
 NORTH_STAR_TARGET_S = 1.0
 # TPU v5e peak: 197 TFLOP/s bf16 (394 TOP/s int8). MFU below is
-# model-FLOPs (XLA cost analysis of the compiled forward) / wall / peak.
+# model-FLOPs / wall / bf16 peak: XLA's cost analysis of the compiled
+# forward plus the analytically-counted Pallas-kernel matmuls (opaque
+# custom calls to XLA). int8 ops are counted at bf16-peak parity, so the
+# int8 configs' MFU is conservative.
 PEAK_BF16_FLOPS = 197e12
 
 
 def _model_flops(fn, *args):
-  """Total FLOPs of one compiled forward, from XLA's cost analysis."""
+  """FLOPs of one compiled forward from XLA's cost analysis.
+
+  NOTE: Pallas kernels are opaque custom calls to XLA's analysis, so
+  their FLOPs must be added separately (`_pallas_flops_480p`)."""
   try:
     cost = jax.jit(fn).lower(*args).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
@@ -50,6 +56,24 @@ def _model_flops(fn, *args):
     return float(cost["flops"])
   except Exception:
     return None
+
+
+def _pallas_flops_480p(config, frames, queries, resolutions):
+  """Matmul FLOPs inside the fused Pallas kernels (mixer + corr+tents),
+  which XLA's cost analysis cannot see. Per refinement iteration each
+  trajectory row passes 12 mixer blocks (2 matmuls of C=512 x H=2048) and
+  one correlation per pyramid level."""
+  mixer_per_pf = config.num_mixer_blocks * 2 * (512 * 2048 * 2)
+  corr_per_pf = 0
+  for h, w in resolutions:
+    levels = [(h // 4, w // 4, 128), (h // 8, w // 8, 256)]
+    for _ in range(config.pyramid_level):
+      hh, ww, c = levels[-1]
+      levels.append((hh // 2, ww // 2, c))
+    corr_per_pf += sum(hh * ww * c * 2 for hh, ww, c in levels)
+  iters = config.num_pips_iter
+  pf = queries * frames
+  return pf * iters * (len(resolutions) * mixer_per_pf + corr_per_pf)
 
 
 def _emit(record):
@@ -310,6 +334,10 @@ def bench_bootstapir_480p():
       forward, video, query_points, iters_per_measure=1, num_measures=4
   )
   flops = _model_flops(forward, video, query_points)
+  if flops:
+    flops += _pallas_flops_480p(
+        config, frames, queries, [(256, 256), (res, res)]
+    )
   mfu = (
       round(flops / stats["median"] / PEAK_BF16_FLOPS, 4) if flops else None
   )
@@ -346,7 +374,8 @@ def bench_bootstapir_480p_fast():
   plus w8a8 int8 mixer MLPs (measured track drift vs bf16 at this exact
   workload: mean 0.11 px / p95 0.23 px / max 0.55 px, PERFORMANCE.md)
   plus w8a8 int8 ExtraConvs (drift: p50 0.22 px, 95.8% of point-frames
-  < 1 px, 0.6% argmax-flip tail — PERFORMANCE.md)."""
+  < 1 px, 0.6% argmax-flip tail; a finer per-pixel-scale mode exists at
+  +4% wall — PERFORMANCE.md)."""
   from tapnet_tpu.models import tapir as tapir_lib
   from tapnet_tpu.utils import profiling
 
@@ -382,6 +411,8 @@ def bench_bootstapir_480p_fast():
       forward, video, query_points, iters_per_measure=1, num_measures=4
   )
   flops = _model_flops(forward, video, query_points)
+  if flops:
+    flops += _pallas_flops_480p(config, frames, queries, [(res, res)])
   mfu = (
       round(flops / stats["median"] / PEAK_BF16_FLOPS, 4) if flops else None
   )
