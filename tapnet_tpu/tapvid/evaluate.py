@@ -225,9 +225,17 @@ def main():
   from tapnet_tpu import inference
 
   if args.model == "tapnext":
-    from tapnet_tpu.checkpoints import tapnext_checkpoint
+    if args.checkpoint.endswith((".pt", ".ckpt", ".pth")):
+      # TAPNext++ weights are released as torch state dicts only.
+      from tapnet_tpu.checkpoints import tapnext_torch_import
 
-    params = tapnext_checkpoint.load_tapnext_checkpoint(args.checkpoint)
+      params = tapnext_torch_import.load_tapnext_torch_checkpoint(
+          args.checkpoint
+      )
+    else:
+      from tapnet_tpu.checkpoints import tapnext_checkpoint
+
+      params = tapnext_checkpoint.load_tapnext_checkpoint(args.checkpoint)
     predictor = inference.TapnextPredictor(params)
   else:
     from tapnet_tpu.checkpoints import tapir_checkpoint
