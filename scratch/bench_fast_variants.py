@@ -84,17 +84,17 @@ def bench(params, video, qp, single_res, **flags):
 def main():
   video, qp = make_inputs()
   params = make_params()
+  # NOTE: r4 also measured "+backbone" variants (quantized_backbone=True)
+  # and found NO end-to-end win (the backbone is HBM-bound, not MXU-bound);
+  # the flag was removed from TapirConfig afterwards, so those cases can no
+  # longer run at HEAD. Recorded numbers live in PERFORMANCE.md (r4
+  # "quantized backbone: measured no-win, removed" entry).
   cases = [
       ("fast/base-bf16", True, {}),
       ("fast/+mixer", True, dict(quantized_mixer=True)),
       ("fast/+extraconvs", True,
        dict(quantized_mixer=True, quantized_extra_convs=True)),
-      ("fast/+backbone", True,
-       dict(quantized_mixer=True, quantized_extra_convs=True,
-            quantized_backbone=True)),
       ("default/bf16+qmixer", False, dict(quantized_mixer=True)),
-      ("default/+backbone", False,
-       dict(quantized_mixer=True, quantized_backbone=True)),
   ]
   for tag, single, flags in cases:
     stats = bench(params, video, qp, single, **flags)

@@ -133,19 +133,35 @@ def _extract_state_dict(obj) -> Mapping[str, Any]:
         obj[key], Mapping
     ):
       obj = obj[key]
-  # Strip DataParallel-style prefixes.
-  return {
-      (k[len("module."):] if k.startswith("module.") else k): v
-      for k, v in obj.items()
-  }
+  # Strip DataParallel-style ("module.") and Lightning-style ("model.")
+  # wrapper prefixes.
+  out = dict(obj)
+  for prefix in ("module.", "model."):
+    if out and all(k.startswith(prefix) for k in out):
+      out = {k[len(prefix):]: v for k, v in out.items()}
+  return out
 
 
 def load_tapnext_torch_checkpoint(
-    path: str, num_heads: int = 12
+    path: str, num_heads: int = 12, allow_pickle: bool = False
 ) -> Dict[str, Any]:
-  """Loads a released torch TAPNext/TAPNext++ checkpoint as Flax params."""
+  """Loads a released torch TAPNext/TAPNext++ checkpoint as Flax params.
+
+  `allow_pickle=True` falls back to `torch.load(weights_only=False)` for
+  checkpoints with non-tensor metadata (e.g. Lightning `.ckpt` files) —
+  only use it on files you trust, as it runs arbitrary pickled code.
+  """
   import torch
 
-  obj = torch.load(path, map_location="cpu", weights_only=True)
+  try:
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+  except Exception as e:  # pickle.UnpicklingError or torch's wrapper
+    if not allow_pickle:
+      raise ValueError(
+          f"{path} could not be loaded with weights_only=True (it likely "
+          "contains non-tensor metadata, e.g. a Lightning .ckpt). If you "
+          "trust this file, retry with allow_pickle=True."
+      ) from e
+    obj = torch.load(path, map_location="cpu", weights_only=False)
   flat = state_dict_to_flat_jax(_extract_state_dict(obj), num_heads)
   return tapnext_checkpoint.unflatten(flat)

@@ -156,8 +156,10 @@ def geometric_augmentation(seed: int = 0, strength: float = 1.0):
   Occlusion flags are kept as-is (points warped outside the frame are
   handled by the loss's visibility weighting, as in the reference).
   """
-  roll = augmentations.RollAugmentation(seed=seed)
-  homog = augmentations.HomographyAugmentation(seed=seed + 1)
+  roll = augmentations.RollAugmentation(seed=seed, strength=strength)
+  homog = augmentations.HomographyAugmentation(
+      seed=seed + 1, strength=strength
+  )
 
   def transform(example):
     tracks = np.transpose(

@@ -166,14 +166,19 @@ def make_eval_fn(
 
   predictor_box = []
 
+  def _build_predictor(params):
+    # Dispatch on the model family: cost-volume trackers go through
+    # TapirPredictor, the ViT-SSM tracker through TapnextPredictor.
+    if type(model).__name__ == "TAPNextTracker":
+      return inference.TapnextPredictor(params, config=model.config)
+    return inference.TapirPredictor(
+        params, model.config, query_chunk_size=query_chunk_size
+    )
+
   def eval_fn(state) -> Mapping[str, float]:
     params = getattr(state, "params", state)
     if not predictor_box:
-      predictor_box.append(
-          inference.TapirPredictor(
-              params, model.config, query_chunk_size=query_chunk_size
-          )
-      )
+      predictor_box.append(_build_predictor(params))
     predictor = predictor_box[0]
     predictor.params = params
     return dict(

@@ -16,8 +16,6 @@ Differences by design:
 
 from __future__ import annotations
 
-import colorsys
-import random
 from typing import List, Optional, Sequence, Tuple
 
 
@@ -30,17 +28,29 @@ Array = np.ndarray
 # --------------------------------------------------------------------- colors
 
 
-def get_colors(num_colors: int) -> List[Tuple[int, int, int]]:
-  """Evenly-spaced HSV colors, shuffled."""
-  colors = []
-  for i in np.arange(0.0, 360.0, 360.0 / num_colors):
-    hue = i / 360.0
-    lightness = (50 + np.random.rand() * 10) / 100.0
-    saturation = (90 + np.random.rand() * 10) / 100.0
-    r, g, b = colorsys.hls_to_rgb(hue, lightness, saturation)
-    colors.append((int(r * 255), int(g * 255), int(b * 255)))
-  random.shuffle(colors)
-  return colors
+def get_colors(
+    num_colors: int, seed: Optional[int] = None
+) -> List[Tuple[int, int, int]]:
+  """Distinct track colors: a vectorized HSV hue wheel, shuffled.
+
+  Evenly-spaced hues at high saturation/value, computed with the piecewise
+  hue->RGB triangle formula over the whole wheel at once, then shuffled so
+  neighboring track indices get visually distant colors. Pass `seed` for a
+  deterministic palette.
+  """
+  h6 = 6.0 * np.arange(num_colors, dtype=np.float64) / max(num_colors, 1)
+  hue_rgb = np.stack(
+      [
+          np.clip(np.abs(h6 - 3.0) - 1.0, 0.0, 1.0),
+          np.clip(2.0 - np.abs(h6 - 2.0), 0.0, 1.0),
+          np.clip(2.0 - np.abs(h6 - 4.0), 0.0, 1.0),
+      ],
+      axis=-1,
+  )
+  sat, val = 0.92, 0.98
+  rgb = np.round(255.0 * val * (1.0 - sat * (1.0 - hue_rgb))).astype(int)
+  np.random.default_rng(seed).shuffle(rgb, axis=0)
+  return [tuple(c) for c in rgb]
 
 
 # ------------------------------------------------------------------ splatting
@@ -69,7 +79,9 @@ def paint_point_track(
   colors = np.asarray(colormap, np.float32)  # [N, 3]
   height, width = frames.shape[1:3]
 
-  radius = int(round(min(height, width) * 0.015))
+  # Floor of 1: tiny frames would round to radius 0, making the soft-disc
+  # profile divide by zero (NaN icon -> black output).
+  radius = max(1, int(round(min(height, width) * 0.015)))
   diam = radius * 2 + 1
   # Soft disc profile.
   dy = np.arange(diam)[:, None] - radius

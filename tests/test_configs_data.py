@@ -239,3 +239,30 @@ class TestVisualizer:
     import os
 
     assert os.path.getsize(out) > 0
+
+
+class TestGeometricAugmentationStrength:
+
+  def test_strength_reaches_augmentations(self):
+    # The `strength` knob must be passed through to Roll/Homography
+    # (it was silently dropped before r5).
+    transform = kubric.geometric_augmentation(seed=0, strength=0.25)
+    cells = {
+        c.cell_contents.__class__.__name__: c.cell_contents
+        for c in transform.__closure__
+    }
+    assert cells["RollAugmentation"].strength == 0.25
+    assert cells["HomographyAugmentation"].strength == 0.25
+
+  def test_zero_strength_is_identity_on_tracks(self):
+    rng = np.random.RandomState(0)
+    example = {
+        "video": (rng.rand(4, 24, 24, 3) * 255).astype(np.uint8),
+        "target_points": rng.rand(3, 4, 2).astype(np.float32) * 24,
+        "occluded": np.zeros((3, 4), bool),
+    }
+    transform = kubric.geometric_augmentation(seed=1, strength=0.0)
+    out = transform(example)
+    np.testing.assert_allclose(
+        out["target_points"], example["target_points"], atol=1e-3
+    )

@@ -228,3 +228,33 @@ class TestVisualizationDump:
     files = sorted(os.listdir(out_dir))
     assert files == ["video_0000.mp4", "video_0001.mp4"]
     assert all((out_dir / f).stat().st_size > 0 for f in files)
+
+
+class TestEvalFnDispatch:
+
+  def test_make_eval_fn_tapnext(self, tmp_path):
+    # make_eval_fn presents a model-generic API; TAPNext models must route
+    # through TapnextPredictor (not the TAPIR cost-volume predictor).
+    from tapnet_tpu.models import ssm_vit, tapnext
+    import jax
+
+    config = ssm_vit.SsmVitConfig(
+        width=16, depth=1, mlp_dim=32, num_heads=2,
+        patch_size=(1, 8, 8), image_size=(32, 32),
+    )
+    model = tapnext.TAPNextTracker(config=config)
+    path = make_kubric_dir(tmp_path, num_examples=1, t=3, h=32, w=32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32),
+        np.zeros((1, 2, 3), np.float32),
+    )["params"]
+    eval_fn = evaluate.make_eval_fn(
+        model,
+        lambda: datasets.create_kubric_dataset(
+            path, query_mode="first", train_size=(32, 32)
+        ),
+        query_mode="first",
+    )
+    metrics = eval_fn(params)
+    assert 0.0 <= metrics["average_jaccard"] <= 1.0

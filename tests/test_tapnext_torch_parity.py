@@ -229,3 +229,34 @@ class TestTorchStateDictImport:
     np.testing.assert_allclose(
         np.asarray(a.tracks), np.asarray(b.tracks), rtol=1e-5, atol=1e-5
     )
+
+
+class TestStateDictExtraction:
+
+  def test_strips_lightning_model_prefix(self):
+    from tapnet_tpu.checkpoints import tapnext_torch_import
+
+    sd = {"model.lin_proj.weight": 1, "model.blocks.0.x": 2}
+    out = tapnext_torch_import._extract_state_dict({"state_dict": sd})
+    assert set(out) == {"lin_proj.weight", "blocks.0.x"}
+
+  def test_keeps_unprefixed_keys(self):
+    from tapnet_tpu.checkpoints import tapnext_torch_import
+
+    sd = {"lin_proj.weight": 1, "model_tail.x": 2}
+    out = tapnext_torch_import._extract_state_dict(sd)
+    assert set(out) == {"lin_proj.weight", "model_tail.x"}
+
+  def test_weights_only_failure_message(self, tmp_path):
+    from tapnet_tpu.checkpoints import tapnext_torch_import
+
+    # Lightning .ckpt files carry non-tensor metadata that
+    # torch.load(weights_only=True) rejects; the importer must say so.
+    path = str(tmp_path / "lightning.ckpt")
+    torch.save(
+        {"state_dict": {"x": torch.zeros(1)},
+         "hyper_parameters": np.random.RandomState(0)},
+        path,
+    )
+    with pytest.raises(ValueError, match="allow_pickle=True"):
+      tapnext_torch_import.load_tapnext_torch_checkpoint(path)

@@ -118,3 +118,32 @@ class TestHomography:
     homogs = np.stack([np.eye(3)] * 3)
     out = viz.plot_tracks_tails(rgb, pts, occ, homogs)
     assert out.shape == (3, 48, 48, 3)
+
+
+class TestGetColors:
+
+  def test_count_range_distinct(self):
+    colors = viz.get_colors(24)
+    assert len(colors) == 24
+    arr = np.array(colors)
+    assert arr.shape == (24, 3)
+    assert arr.min() >= 0 and arr.max() <= 255
+    # Evenly-spaced hues at fixed S/V are all distinct.
+    assert len({tuple(c) for c in colors}) == 24
+
+  def test_seed_deterministic(self):
+    assert viz.get_colors(16, seed=7) == viz.get_colors(16, seed=7)
+
+  def test_single_color(self):
+    (c,) = viz.get_colors(1)
+    assert len(c) == 3
+
+
+def test_paint_tiny_frames():
+  # Frames < ~34 px used to yield radius 0 -> NaN icon -> black output.
+  frames = np.zeros((1, 32, 32, 3), np.uint8)
+  tracks = np.array([[[16.0, 16.0]]])
+  out = viz.paint_point_track(
+      frames, tracks, np.ones((1, 1), bool), [(255, 0, 0)]
+  )
+  assert out.max() > 100
