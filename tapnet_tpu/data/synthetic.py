@@ -22,7 +22,7 @@ Array = jnp.ndarray
 
 
 @functools.partial(
-    jax.jit, static_argnums=(1, 2, 3, 4, 5)
+    jax.jit, static_argnums=(1, 2, 3, 4, 5, 6)
 )
 def make_batch(
     rng: Array,
@@ -54,7 +54,8 @@ def make_batch(
         keys[3], (num_sprites, 1),
         minval=height * 0.06, maxval=height * 0.18,
     )
-    tex_small = jax.random.uniform(keys[4], (num_sprites, 4, 4, 3))
+    tex_small = jax.random.uniform(keys[4], (num_sprites, 8, 8, 3))
+    tex_res = tex_small.shape[1]
 
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
@@ -70,12 +71,29 @@ def make_batch(
             (jnp.abs(grid_y - center[0]) < half[s, 0])
             & (jnp.abs(grid_x - center[1]) < half[s, 0])
         )
-        # Texture sampled in sprite-local coords.
+        # Texture sampled in SPRITE-LOCAL coordinates, so the pattern
+        # translates rigidly with the sprite — point appearance follows
+        # the ground-truth tracks (a point's local texture is what a
+        # tracker must learn to match). Bilinear sampling of the tiny
+        # texture is done as a dense tent-weight contraction (no gathers;
+        # TPU pads gather operands catastrophically — same trick as
+        # ops/corr_tents.py).
         u = (grid_y - center[0]) / (2 * half[s, 0]) + 0.5
         v = (grid_x - center[1]) / (2 * half[s, 0]) + 0.5
-        tex = jax.image.resize(tex_small[s], (height, width, 3), "bilinear")
-        # Cheap local texture: roll the resized texture by sprite offset.
-        del u, v
+        taps = jnp.arange(tex_res, dtype=jnp.float32)
+        wu = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(
+                jnp.clip(u, 0.0, 1.0)[..., None] * (tex_res - 1) - taps
+            ),
+        )  # [H, W, tex_res] tent weights over texture rows
+        wv = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(
+                jnp.clip(v, 0.0, 1.0)[..., None] * (tex_res - 1) - taps
+            ),
+        )
+        tex = jnp.einsum("hwi,hwj,ijc->hwc", wu, wv, tex_small[s])
         frame = jnp.where(inside[..., None], tex, frame)
         depth = jnp.where(inside, s, depth)
         return (frame, depth), None
@@ -148,3 +166,41 @@ def batch_iterator(
   while True:
     rng, key = jax.random.split(rng)
     yield make_batch(key, **kwargs)
+
+
+def export_npz(
+    out_dir: str,
+    num_examples: int,
+    seed: int = 10_000,
+    num_frames: int = 24,
+    height: int = 256,
+    width: int = 256,
+    num_queries: int = 64,
+    num_sprites: int = 6,
+) -> None:
+  """Writes a fixed synthetic dataset in the Kubric npz layout.
+
+  Produces the held-out eval sets consumed by
+  `tapvid.datasets.create_kubric_dataset` / `tapvid.evaluate` (the
+  reference's eval_kubric mode evaluates on Kubric-format batches,
+  supervised_point_prediction.py:686-693). Use a `seed` disjoint from the
+  training iterator's so eval videos are never trained on.
+  """
+  import os
+
+  import numpy as np
+
+  os.makedirs(out_dir, exist_ok=True)
+  rng = jax.random.PRNGKey(seed)
+  for i in range(num_examples):
+    rng, key = jax.random.split(rng)
+    batch = make_batch(
+        key, 1, num_frames, height, width, num_queries, num_sprites
+    )
+    video = np.asarray(batch["video"][0])
+    np.savez(
+        os.path.join(out_dir, f"synth_{i:04d}.npz"),
+        video=np.clip((video + 1.0) * 127.5, 0, 255).astype(np.uint8),
+        target_points=np.asarray(batch["target_points"][0]),
+        occluded=np.asarray(batch["occluded"][0]).astype(bool),
+    )

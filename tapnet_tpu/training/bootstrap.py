@@ -254,6 +254,26 @@ def jit_bootstrap_step(step_fn, mesh):
   )
 
 
+def restore_or_init_bootstrap(
+    params, tx: optax.GradientTransformation,
+    checkpoint_path: Optional[str],
+) -> BootstrapState:
+  """Resumes a self-training run from its checkpoint, else starts from
+  `params` (a supervised checkpoint) with teacher = student."""
+  from tapnet_tpu.training import checkpointing
+
+  if checkpoint_path:
+    ckpt = checkpointing.restore_checkpoint(checkpoint_path)
+    if ckpt is not None:
+      return BootstrapState(
+          ckpt["params"],
+          ckpt["teacher_params"],
+          ckpt["opt_state"],
+          jnp.asarray(ckpt["step"]),
+      )
+  return init_bootstrap_state(params, tx)
+
+
 def fit_bootstrap(
     model,
     state: BootstrapState,
@@ -264,22 +284,67 @@ def fit_bootstrap(
     mesh=None,
     log_every: int = 50,
     rng: Optional[Array] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1000,
+    log_path: Optional[str] = None,
+    eval_fn: Optional[Callable[[BootstrapState], Mapping[str, float]]] = None,
+    evaluate_every: int = 0,
 ) -> BootstrapState:
-  """Runs the self-training loop over an unlabeled-video iterator."""
+  """Runs the self-training loop over an unlabeled-video iterator.
+
+  Telemetry goes to the same JSONL sink as supervised training
+  (`log_path`, defaulting to `train_log.jsonl` next to the checkpoint);
+  `checkpoint_path` enables atomic save/resume of the full
+  student+teacher+optimizer state (restore with
+  `restore_or_init_bootstrap`). `eval_fn(state)` is the in-train eval
+  hook; it receives the state (use `state.params` for the student or
+  `state.teacher_params` for the EMA teacher)."""
+  from tapnet_tpu.training import checkpointing, telemetry
+
   mesh = mesh if mesh is not None else mesh_lib.make_mesh()
   step_fn = jit_bootstrap_step(
       make_bootstrap_train_step(model, tx, config), mesh
   )
   rng = rng if rng is not None else jax.random.PRNGKey(0)
+  sink = telemetry.ScalarSink(
+      log_path
+      if log_path is not None
+      else telemetry.default_log_path(checkpoint_path)
+  )
   for i in range(num_steps):
     batch = next(data)
     batch = {"video": batch["video"]}
     batch = mesh_lib.shard_batch(batch, mesh)
     rng, step_rng = jax.random.split(rng)
     state, scalars = step_fn(state, batch, step_rng)
+    step = int(state.step)
     if log_every and (i + 1) % log_every == 0:
+      scalars = jax.device_get(scalars)
       print(
-          f"step {int(state.step)} loss {float(scalars['loss']):.4f} "
+          f"step {step} loss {float(scalars['loss']):.4f} "
           f"sup_frac {float(scalars['supervised_frac']):.3f}"
       )
+      sink.write(step, scalars, kind="bootstrap")
+    if checkpoint_path and checkpoint_every and (
+        step % checkpoint_every == 0
+    ):
+      checkpointing.save_checkpoint(
+          checkpoint_path,
+          dict(
+              params=state.params,
+              teacher_params=state.teacher_params,
+              opt_state=state.opt_state,
+              step=step,
+          ),
+      )
+    if eval_fn is not None and evaluate_every and (
+        step % evaluate_every == 0
+    ):
+      eval_scalars = eval_fn(state)
+      print(
+          f"eval @{step} "
+          + " ".join(f"{k}={v:.4f}" for k, v in eval_scalars.items())
+      )
+      sink.write(step, eval_scalars, kind="eval")
+  sink.close()
   return state

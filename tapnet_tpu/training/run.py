@@ -29,6 +29,19 @@ def main():
   parser.add_argument("--batch_size", type=int, default=None)
   parser.add_argument("--model_parallel", type=int, default=1)
   parser.add_argument(
+      "--eval_dir", default=None,
+      help="directory of Kubric-format npz examples for in-train held-out "
+      "eval (the reference's eval_kubric mode); AJ/OA go to the JSONL "
+      "telemetry sink next to the checkpoint",
+  )
+  parser.add_argument("--eval_every", type=int, default=None,
+                      help="steps between in-train evals "
+                      "(default: the preset's evaluate_every)")
+  parser.add_argument("--eval_max_videos", type=int, default=None)
+  parser.add_argument("--num_frames", type=int, default=None)
+  parser.add_argument("--num_queries", type=int, default=None)
+  parser.add_argument("--seed", type=int, default=0)
+  parser.add_argument(
       "--smoke", action="store_true",
       help="shrink model and data for a quick correctness run",
   )
@@ -67,16 +80,19 @@ def main():
     )
   batch_size = args.batch_size or exp.data.batch_size
   num_steps = args.num_steps or exp.total_steps
+  num_frames = args.num_frames or exp.data.num_frames
+  num_queries = args.num_queries or exp.data.num_queries
 
   if args.synthetic or args.data_dir is None:
     from tapnet_tpu.data import synthetic
 
     data = synthetic.batch_iterator(
+        seed=args.seed,
         batch_size=batch_size,
-        num_frames=exp.data.num_frames,
+        num_frames=num_frames,
         height=exp.data.train_size[0],
         width=exp.data.train_size[1],
-        num_queries=exp.data.num_queries,
+        num_queries=num_queries,
     )
     if args.data_dir is None and not args.synthetic:
       print("no --data_dir given; training on synthetic data")
@@ -87,9 +103,10 @@ def main():
         args.data_dir,
         batch_size,
         train_size=exp.data.train_size,
-        num_queries=exp.data.num_queries,
+        num_queries=num_queries,
         color_augment=exp.data.color_augment,
         geometric_augment=exp.data.geometric_augment,
+        seed=args.seed,
     )
 
   ckpt_path = (
@@ -107,8 +124,33 @@ def main():
       checkpoint_every=args.checkpoint_every,
       loss_builder=exp.loss_builder,
   )
+  eval_fn = None
+  eval_every = args.eval_every or exp.evaluate_every
+  if args.eval_dir:
+    from tapnet_tpu.tapvid import datasets as tapvid_datasets
+    from tapnet_tpu.tapvid import evaluate as tapvid_evaluate
+
+    eval_fn = tapvid_evaluate.make_eval_fn(
+        t.model,
+        lambda: tapvid_datasets.create_kubric_dataset(
+            args.eval_dir,
+            query_mode="strided",
+            train_size=exp.data.train_size,
+        ),
+        query_mode="strided",
+        query_chunk_size=exp.task.train_chunk_size,
+        max_videos=args.eval_max_videos,
+    )
+
   state = t.restore_or_init(next(iter([next(data)])))
-  state = t.fit(state, data, num_steps=num_steps, log_every=args.log_every)
+  state = t.fit(
+      state,
+      data,
+      num_steps=num_steps,
+      log_every=args.log_every,
+      eval_fn=eval_fn,
+      evaluate_every=eval_every if eval_fn else 0,
+  )
   if ckpt_path:
     from tapnet_tpu.training import checkpointing
 

@@ -149,3 +149,56 @@ class TestBootstrapStep:
         mesh=mesh_lib.make_mesh(model_parallel=2), log_every=0,
     )
     assert int(state.step) == 2
+
+
+def test_fit_bootstrap_telemetry_checkpoint_resume(tmp_path):
+  """fit_bootstrap must log through the JSONL telemetry sink and take
+  checkpoints a later run can resume from (r4 gap: print-only logging,
+  no checkpoint hook)."""
+  import json
+
+  model, params, video, cfg = tiny_setup()
+  opt = optimizers.OptimizerConfig(
+      base_lr=1e-4, warmup_steps=1, weight_decay=0.0
+  )
+  tx = optimizers.make_optimizer(opt, optimizers.make_lr_schedule(opt, 4))
+  ckpt = str(tmp_path / "boot.npy")
+  mesh = mesh_lib.make_mesh(model_parallel=2)
+
+  def data():
+    while True:
+      yield {"video": video}
+
+  evals = []
+
+  def eval_fn(state):
+    evals.append(int(state.step))
+    return {"average_jaccard": 0.5}
+
+  state = bootstrap.restore_or_init_bootstrap(params, tx, ckpt)
+  state = bootstrap.fit_bootstrap(
+      model, state, data(), tx, num_steps=2, config=cfg, mesh=mesh,
+      log_every=1, checkpoint_path=ckpt, checkpoint_every=2,
+      eval_fn=eval_fn, evaluate_every=2,
+  )
+  assert evals == [2]
+  log = tmp_path / "train_log.jsonl"
+  records = [json.loads(l) for l in log.read_text().splitlines()]
+  kinds = {r["kind"] for r in records}
+  assert "bootstrap" in kinds and "eval" in kinds
+  assert any("supervised_frac" in r for r in records)
+
+  # Resume: picks up step, student AND teacher from the checkpoint.
+  resumed = bootstrap.restore_or_init_bootstrap(params, tx, ckpt)
+  assert int(resumed.step) == 2
+  leaf = lambda p: np.asarray(jax.tree_util.tree_leaves(p)[0])
+  np.testing.assert_array_equal(leaf(resumed.params),
+                                leaf(state.params))
+  np.testing.assert_array_equal(leaf(resumed.teacher_params),
+                                leaf(state.teacher_params))
+  resumed = jax.device_put(resumed, mesh_lib.replicated(mesh))
+  resumed = bootstrap.fit_bootstrap(
+      model, resumed, data(), tx, num_steps=1, config=cfg, mesh=mesh,
+      log_every=0,
+  )
+  assert int(resumed.step) == 3

@@ -417,3 +417,45 @@ class TestCrossReplicaBatchNorm:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
       )
+
+
+def test_synthetic_texture_moves_with_tracks():
+  """Sprite texture must translate WITH the sprite: the patch around a
+  tracked point should match across frames better than a patch at the
+  point's old (static) location. The pre-r5 generator painted a static
+  full-frame texture, making point appearance contradict the tracks."""
+  batch = synthetic.make_batch(
+      jax.random.PRNGKey(3), 1, 8, 64, 64, 16, num_sprites=4
+  )
+  video = np.asarray(batch["video"])[0]  # [T, H, W, 3]
+  tp = np.asarray(batch["target_points"])[0]  # [Q, T, 2] (x, y)
+  occ = np.asarray(batch["occluded"])[0]  # [Q, T]
+  h = w = 64
+  r = 2
+  moving, static = [], []
+  for q in range(tp.shape[0]):
+    for t in range(tp.shape[1] - 1):
+      if occ[q, t] or occ[q, t + 1]:
+        continue
+      x0, y0 = tp[q, t]
+      x1, y1 = tp[q, t + 1]
+      speed = abs(x1 - x0) + abs(y1 - y0)
+      if speed < 1.0:
+        continue
+      pts = [(x0, y0, t), (x1, y1, t + 1), (x0, y0, t + 1)]
+      if any(
+          not (r <= xx < w - r - 1 and r <= yy < h - r - 1)
+          for xx, yy, _ in pts
+      ):
+        continue
+      def patch(x, y, tt):
+        xi, yi = int(round(x)), int(round(y))
+        return video[tt, yi - r : yi + r + 1, xi - r : xi + r + 1]
+      p0 = patch(x0, y0, t)
+      moving.append(np.abs(p0 - patch(x1, y1, t + 1)).mean())
+      static.append(np.abs(p0 - patch(x0, y0, t + 1)).mean())
+  assert len(moving) >= 20, f"only {len(moving)} usable samples"
+  assert np.mean(moving) < 0.6 * np.mean(static), (
+      f"texture does not follow tracks: moving-diff {np.mean(moving):.4f} "
+      f"vs static-diff {np.mean(static):.4f}"
+  )
