@@ -129,6 +129,19 @@ def convert_haiku_tapir_params(
 
 
 def load_tapir_checkpoint(path: str) -> Dict[str, Any]:
-  """Loads a released .npy TAPIR checkpoint into Flax params."""
+  """Loads TAPIR params from either checkpoint family:
+
+  * released reference checkpoints: Haiku .npy pickles whose params map
+    module-path strings like ``tapir/~/pips_mlp_mixer/...`` (converted by
+    renaming), or
+  * this framework's own training checkpoints
+    (training/checkpointing.py: {params, opt_state, step, ...} with the
+    params already a nested Flax tree) — returned as-is, so
+    `tapvid.evaluate --checkpoint runs/.../checkpoint.npy` works on a
+    checkpoint trained here.
+  """
   ckpt = np.load(path, allow_pickle=True).item()
-  return convert_haiku_tapir_params(ckpt["params"])
+  params = ckpt.get("params", ckpt)
+  if any("/" in str(k) for k in params):
+    return convert_haiku_tapir_params(params)
+  return params

@@ -91,6 +91,13 @@ class TapirConfig:
   # speedup (see layers.ExtraConvs and PERFORMANCE.md for the measured
   # speed/drift ladder). Opt-in.
   quantized_extra_convs: "bool | str" = False
+  # Inference speed mode: run the local-correlation contraction of the
+  # fused corr+tents kernel in w8a8 int8 (grid quantized per position with
+  # scales applied before the tent contraction, query descriptors per row
+  # with scales folded into the output; int32 MXU accumulation, bf16
+  # tents). Also halves the kernel's feature-grid HBM reads. Requires
+  # use_fused_corr. Opt-in; drift in PERFORMANCE.md.
+  quantized_corr: bool = False
   # NOTE: a quantized_backbone (w8a8 ResNet) mode existed briefly and was
   # REMOVED after end-to-end measurement showed no win (the backbone is
   # HBM-bound, not MXU-bound) — see PERFORMANCE.md dead ends.
@@ -537,7 +544,9 @@ class TAPIR(nn.Module):
       cyx = coords - 0.5  # [B, N, T, 2] (y, x) index space
       cy = cyx[..., 0].transpose(0, 2, 1).reshape(b * t, n)
       cx = cyx[..., 1].transpose(0, 2, 1).reshape(b * t, n)
-      pat = corr_tents.corr_tent_patches(grid_bt, q_bt, cy, cx, p)
+      pat = corr_tents.corr_tent_patches(
+          grid_bt, q_bt, cy, cx, p, cfg.quantized_corr
+      )
       # [B*T, p, p, N] -> [B, N, T, p*p]
       pat = pat.reshape(b, t, p, p, n).transpose(0, 4, 1, 2, 3)
       return pat.reshape(b, n, t, p * p)

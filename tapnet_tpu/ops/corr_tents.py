@@ -59,6 +59,21 @@ def _tent_weights(coords, size, patch_size):
   return jax.nn.relu(1.0 - jnp.abs(centers[..., None] - cells))
 
 
+def _quantize_lastdim(v, eps=1e-8):
+  """Symmetric per-row int8 quantization over the last axis.
+
+  Returns (int8 values, fp32 scale without the last axis); same formulas
+  as mixer_math.quantize_rows.
+  """
+  vf = v.astype(jnp.float32)
+  amax = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), eps)
+  scale = amax * (1.0 / 127.0)
+  q = jnp.clip(
+      jnp.round(vf / scale[..., None]), -127.0, 127.0
+  ).astype(jnp.int8)
+  return q, scale
+
+
 def _math_reference(grid, query, cy, cx, p):
   """Unfused einsum formulation: [BT, H, W, C] x [BT, N, C] -> [BT, p, p, N].
 
@@ -80,21 +95,53 @@ def _math_reference(grid, query, cy, cx, p):
   return pat.transpose(0, 2, 3, 1)  # [BT, p, p, N]
 
 
-def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p):
-  g = g_ref[0]  # [H, W, C]
+def _math_reference_quantized(grid, query, cy, cx, p):
+  """int8 formulation mirroring the quantized kernel: grid quantized
+  per position, query per descriptor, int32 correlation, per-position
+  grid scales applied before the (bf16) tent contraction, per-query
+  scales folded into the output."""
+  gq, gs = _quantize_lastdim(grid)  # [BT,H,W] scales
+  qq, qs = _quantize_lastdim(query)  # [BT,N] scales
+  corr_i = jnp.einsum(
+      "bhwc,bnc->bnhw",
+      gq.astype(jnp.int8),
+      qq.astype(jnp.int8),
+      preferred_element_type=jnp.int32,
+  )
+  corrs = (
+      corr_i.astype(jnp.float32) * gs[:, None]
+  ).astype(jnp.bfloat16)
+  h, w = grid.shape[1:3]
+  wy = _tent_weights(cy.astype(jnp.float32), h, p).astype(jnp.bfloat16)
+  wx = _tent_weights(cx.astype(jnp.float32), w, p).astype(jnp.bfloat16)
+  pat = jnp.einsum(
+      "bnph,bnhw->bnpw", wy, corrs, preferred_element_type=jnp.float32
+  ).astype(jnp.bfloat16)
+  pat = jnp.einsum(
+      "bnqw,bnpw->bnpq", wx, pat, preferred_element_type=jnp.float32
+  )
+  pat = pat * qs[:, :, None, None]
+  return pat.transpose(0, 2, 3, 1)  # [BT, p, p, N]
+
+
+def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p, gs_ref=None):
+  g = g_ref[0]  # [H, W, C] (compute dtype, or int8 on the quantized path)
   q = q_ref[0]  # [NT, C]
   h, w, _ = g.shape
   nt = q.shape[0]
+  quantized = gs_ref is not None
 
   cy = cy_ref[0, 0].astype(jnp.float32)  # [NT]
   cx = cx_ref[0, 0].astype(jnp.float32)
   half = (p - 1) / 2
 
-  # Correlation (MXU, fp32 accumulation -> compute dtype) and stage-1 tent
-  # contraction Y[p, w, n] = sum_h wy[h, p, n] * corr[h, w, n] (VPU),
+  # Correlation (MXU; fp32 accumulation -> compute dtype, or int8 x int8 ->
+  # int32 with per-position grid scales applied on dequant) and stage-1
+  # tent contraction Y[p, w, n] = sum_h wy[h, p, n] * corr[h, w, n] (VPU),
   # slab-by-slab over H so only [slab, W, NT] slices are ever live. Tent
   # weights are rebuilt per tap from iotas (slicing a precomputed [H, p, NT]
   # tensor produces offset layouts Mosaic cannot reduce over).
+  tent_dtype = jnp.bfloat16 if quantized else g.dtype
   ys = [jnp.zeros((w, nt), jnp.float32) for _ in range(p)]
   for s in range(0, h, _H_SLAB):
     hs = min(_H_SLAB, h - s)
@@ -102,8 +149,13 @@ def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p):
         g[s : s + hs],
         q,
         dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(g.dtype)  # [hs, W, NT]
+        preferred_element_type=jnp.int32 if quantized else jnp.float32,
+    )  # [hs, W, NT]
+    if quantized:
+      corr_s = (
+          corr_s.astype(jnp.float32) * gs_ref[0][s : s + hs][..., None]
+      )
+    corr_s = corr_s.astype(tent_dtype)
     iy = (
         jax.lax.broadcasted_iota(jnp.int32, (hs, 1, 1), 0).astype(jnp.float32)
         + s
@@ -111,7 +163,7 @@ def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p):
     for i in range(p):
       wy_i = jax.nn.relu(
           1.0 - jnp.abs(cy[None, None, :] + (i - half) - iy)
-      ).astype(g.dtype)  # [hs, 1, NT]
+      ).astype(tent_dtype)  # [hs, 1, NT]
       ys[i] = ys[i] + jnp.sum(
           wy_i * corr_s, axis=0, dtype=jnp.float32
       )
@@ -127,7 +179,11 @@ def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p):
       )
 
 
-def _pallas_forward(grid, query, cy, cx, p):
+def _kernel_quantized(g_ref, q_ref, gs_ref, cy_ref, cx_ref, out_ref, *, p):
+  _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, p=p, gs_ref=gs_ref)
+
+
+def _pallas_forward(grid, query, cy, cx, p, quantized=False):
   bt, h, w, c = grid.shape
   n = query.shape[1]
   tile_n = _TILE_N
@@ -138,27 +194,38 @@ def _pallas_forward(grid, query, cy, cx, p):
     cx = jnp.pad(cx, ((0, 0), (0, pad_n)))
   np_ = query.shape[1]
 
+  grid_spec = pl.BlockSpec(
+      (1, h, w, c), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+  )
+  query_spec = pl.BlockSpec(
+      (1, tile_n, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+  )
+  center_spec = pl.BlockSpec(
+      (1, 1, tile_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+  )
+  operands = [grid, query]
+  in_specs = [grid_spec, query_spec]
+  if quantized:
+    # int8 MXU path: grid quantized per position (scales applied in-kernel
+    # before the tent contraction mixes positions), query per descriptor
+    # (a pure per-output-column factor, folded in after the kernel). Also
+    # halves the grid's HBM read traffic.
+    gq, gs = _quantize_lastdim(grid)
+    qq, qs = _quantize_lastdim(query)
+    operands = [gq, qq, gs]
+    in_specs = in_specs + [
+        pl.BlockSpec(
+            (1, h, w), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    kernel = functools.partial(_kernel_quantized, p=p)
+  else:
+    kernel = functools.partial(_kernel, p=p)
+
   out = pl.pallas_call(
-      functools.partial(_kernel, p=p),
+      kernel,
       grid=(bt, np_ // tile_n),
-      in_specs=[
-          pl.BlockSpec(
-              (1, h, w, c), lambda b, i: (b, 0, 0, 0),
-              memory_space=pltpu.VMEM,
-          ),
-          pl.BlockSpec(
-              (1, tile_n, c), lambda b, i: (b, i, 0),
-              memory_space=pltpu.VMEM,
-          ),
-          pl.BlockSpec(
-              (1, 1, tile_n), lambda b, i: (b, 0, i),
-              memory_space=pltpu.VMEM,
-          ),
-          pl.BlockSpec(
-              (1, 1, tile_n), lambda b, i: (b, 0, i),
-              memory_space=pltpu.VMEM,
-          ),
-      ],
+      in_specs=in_specs + [center_spec, center_spec],
       out_specs=pl.BlockSpec(
           (1, p, p, tile_n), lambda b, i: (b, 0, 0, i),
           memory_space=pltpu.VMEM,
@@ -172,7 +239,9 @@ def _pallas_forward(grid, query, cy, cx, p):
           vmem_limit_bytes=100 * 1024 * 1024,
       ),
       interpret=FORCE_INTERPRET,
-  )(grid, query, cy[:, None, :], cx[:, None, :])
+  )(*operands, cy[:, None, :], cx[:, None, :])
+  if quantized:
+    out = out * qs[:, None, None, :]
   return out[..., :n] if pad_n else out
 
 
@@ -185,8 +254,10 @@ def _pallas_forward(grid, query, cy, cx, p):
 _MAX_FRAME_BYTES = 12 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def corr_tent_patches(grid, query, cy, cx, p: int = 7):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def corr_tent_patches(
+    grid, query, cy, cx, p: int = 7, quantized: bool = False
+):
   """Correlation patches around track positions, without the HBM volume.
 
   Args:
@@ -194,30 +265,41 @@ def corr_tent_patches(grid, query, cy, cx, p: int = 7):
     query: [BT, N, C] per-frame query descriptors.
     cy / cx: [BT, N] patch centers in grid index space (raster - 0.5).
     p: patch size (odd).
+    quantized: w8a8 int8 correlation on the MXU (int32 accumulation;
+      per-position grid scales, per-descriptor query scales). The tent
+      contraction stays bf16/fp32. Opt-in accuracy/speed trade, like the
+      quantized mixer/ExtraConvs modes.
 
   Returns:
     [BT, p, p, N] fp32 tent-interpolated correlation patches.
   """
   if FORCE_INTERPRET:
-    return _pallas_forward(grid, query, cy, cx, p)
+    return _pallas_forward(grid, query, cy, cx, p, quantized)
+  math_ref = _math_reference_quantized if quantized else _math_reference
   frame_bytes = int(np.prod(grid.shape[1:])) * grid.dtype.itemsize
   if frame_bytes > _MAX_FRAME_BYTES:
-    return _math_reference(grid, query, cy, cx, p)
+    return math_ref(grid, query, cy, cx, p)
   return jax.lax.platform_dependent(
       grid,
       query,
       cy,
       cx,
-      tpu=functools.partial(_pallas_forward, p=p),
-      default=functools.partial(_math_reference, p=p),
+      tpu=functools.partial(_pallas_forward, p=p, quantized=quantized),
+      default=functools.partial(math_ref, p=p),
   )
 
 
-def _fwd(grid, query, cy, cx, p):
-  return corr_tent_patches(grid, query, cy, cx, p), (grid, query, cy, cx)
+def _fwd(grid, query, cy, cx, p, quantized):
+  return (
+      corr_tent_patches(grid, query, cy, cx, p, quantized),
+      (grid, query, cy, cx),
+  )
 
 
-def _bwd(p, res, g):
+def _bwd(p, quantized, res, g):
+  # Straight-through on the quantized path: gradients flow through the
+  # full-precision einsum formulation (as in the other fused int8 ops).
+  del quantized
   grid, query, cy, cx = res
   _, vjp = jax.vjp(
       lambda *args: _math_reference(*args, p), grid, query, cy, cx

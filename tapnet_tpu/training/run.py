@@ -22,7 +22,14 @@ def main():
                       help="directory of Kubric-format npz examples")
   parser.add_argument("--synthetic", action="store_true",
                       help="train on the synthetic sprite generator")
-  parser.add_argument("--num_steps", type=int, default=None)
+  parser.add_argument("--num_steps", type=int, default=None,
+                      help="steps to run in THIS invocation")
+  parser.add_argument(
+      "--total_steps", type=int, default=None,
+      help="schedule horizon (cosine decay length); defaults to "
+      "--num_steps. Keep it fixed across resumed invocations so the LR "
+      "schedule stays consistent (it is indexed by the absolute step).",
+  )
   parser.add_argument("--checkpoint_dir", default=None)
   parser.add_argument("--checkpoint_every", type=int, default=1000)
   parser.add_argument("--log_every", type=int, default=50)
@@ -117,7 +124,7 @@ def main():
   t = trainer_lib.Trainer(
       exp.build_model(),
       exp.optimizer,
-      total_steps=num_steps,
+      total_steps=args.total_steps or num_steps,
       task=exp.task,
       mesh=mesh_lib.make_mesh(model_parallel=args.model_parallel),
       checkpoint_path=ckpt_path,

@@ -84,3 +84,34 @@ class TestTapnextBf16:
         np.asarray(out32.tracks), np.asarray(out16.tracks), atol=1.0
     )
     assert out16.tracks.dtype == jnp.float32
+
+
+def test_quantized_corr_close_to_fp32():
+  """quantized_corr (int8 local correlation) end-to-end through TAPIR:
+  tracks within ~a pixel of fp32 at tiny scale (CPU takes the quantized
+  einsum reference path; the Pallas kernel itself is covered by
+  test_corr_tents.py)."""
+  import dataclasses
+
+  model = tapir_lib.TAPIR(config=CFG)
+  rng = np.random.RandomState(11)
+  video = jnp.asarray(rng.rand(1, 4, 32, 40, 3).astype(np.float32) * 2 - 1)
+  qp = jnp.asarray(
+      np.stack(
+          [
+              rng.randint(0, 4, (1, 4)).astype(np.float32),
+              rng.rand(1, 4) * 32,
+              rng.rand(1, 4) * 40,
+          ],
+          axis=-1,
+      )
+  )
+  params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+  cfg_q = dataclasses.replace(CFG, quantized_corr=True)
+  p_fp = inference.TapirPredictor(params, CFG, query_bucket=4,
+                                  query_chunk_size=4)
+  p_q = inference.TapirPredictor(params, cfg_q, query_bucket=4,
+                                 query_chunk_size=4)
+  o_fp, o_q = p_fp(video, qp), p_q(video, qp)
+  assert np.isfinite(o_q["tracks"]).all()
+  assert np.abs(o_fp["tracks"] - o_q["tracks"]).max() < 1.5

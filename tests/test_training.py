@@ -459,3 +459,29 @@ def test_synthetic_texture_moves_with_tracks():
       f"texture does not follow tracks: moving-diff {np.mean(moving):.4f} "
       f"vs static-diff {np.mean(static):.4f}"
   )
+
+
+def test_load_tapir_checkpoint_native_format(tmp_path):
+  """tapvid.evaluate --checkpoint must accept this framework's own
+  training checkpoints ({params, opt_state, step} with a Flax tree), not
+  just released Haiku .npy files."""
+  from tapnet_tpu.checkpoints import tapir_checkpoint
+  from tapnet_tpu.training import checkpointing
+
+  model = tapir_lib.TAPIR(config=TINY)
+  batch = tiny_batch(batch_size=1, num_queries=4)
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "permutation": jax.random.PRNGKey(1)},
+      batch["video"], batch["query_points"], query_chunk_size=4,
+      is_training=True,
+  )
+  path = str(tmp_path / "checkpoint.npy")
+  checkpointing.save_checkpoint(
+      path, dict(params=variables["params"], opt_state={}, step=7)
+  )
+  params = tapir_checkpoint.load_tapir_checkpoint(path)
+  out = model.apply(
+      {"params": params}, batch["video"], batch["query_points"],
+      query_chunk_size=4,
+  )
+  assert np.isfinite(np.asarray(out["tracks"])).all()
