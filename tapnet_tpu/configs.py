@@ -38,6 +38,11 @@ class ExperimentConfig:
   data: DataConfig
   total_steps: int
   evaluate_every: int = 10_000
+  # TAPNext only: train through time-chunked forward_step scans with
+  # jax.checkpoint on each chunk (full BPTT through the carried SSM
+  # state). Required when num_frames x ViT-B activations exceed HBM
+  # (the tapnextpp long-video preset).
+  train_time_chunk: Optional[int] = None
 
   def build_model(self):
     if self.model_kind == "tapir":
@@ -54,6 +59,13 @@ class ExperimentConfig:
   def loss_builder(self):
     """Per-model-kind loss for Trainer (None = the default TAPIR loss)."""
     if self.model_kind == "tapnext":
+      if self.train_time_chunk:
+        import functools
+
+        return functools.partial(
+            trainer.tapnext_chunked_loss_builder,
+            chunk_size=self.train_time_chunk,
+        )
       return trainer.tapnext_loss_builder
     return None
 
@@ -161,6 +173,12 @@ def tapnextpp_experiment(variant: str = "B", **overrides) -> ExperimentConfig:
           batch_size=1,
           geometric_augment=True,
       ),
+      # Full-T backward of ViT-B at 1024 frames needs ~20 GB of layer
+      # activations (> v5e HBM): train through 128-frame chunked
+      # forward_step scans with per-chunk jax.checkpoint (full BPTT via
+      # the carried SSM state; see trainer.tapnext_chunked_loss_builder).
+      # Measured at the preset's own shape in PERFORMANCE.md (r5).
+      train_time_chunk=128,
       total_steps=20_000,
       evaluate_every=2_000,
   )

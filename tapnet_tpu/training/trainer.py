@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
+from types import SimpleNamespace
 from typing import Any, Callable, Iterator, Mapping, NamedTuple, Optional, Tuple
 
 import jax
@@ -127,6 +128,97 @@ def tapnext_loss_builder(model, task: TaskConfig):
         {"params": params, **model_state},
         batch["video"],
         batch["query_points"],
+    )
+    target_yx = batch["target_points"][..., ::-1]
+    visible = 1.0 - batch["occluded"]
+    loss, scalars = tapnext_losses.tapnext_loss(results, target_yx, visible)
+    return loss, (scalars, model_state)
+
+  return loss_fn
+
+
+def tapnext_chunked_loss_builder(
+    model, task: TaskConfig, chunk_size: int = 128
+):
+  """TAPNext loss over TIME-CHUNKED forwards — the long-video recipe.
+
+  A full-T ViT-B forward at the tapnextpp preset's shape (1024 frames)
+  needs ~20 GB of layer activations for backward even with layer remat;
+  v5e has 16 GB. This builder runs the video through
+  `TAPNextTracker.forward_step` in chunks under `jax.lax.scan`, with
+  `jax.checkpoint` on the chunk body: the temporal mixer is exactly
+  recurrent (attention is per-frame), so chunked forward == full forward,
+  and gradients flow through the carried SSM state — full BPTT, with only
+  chunk-boundary states + one chunk's activations live at a time.
+
+  Differences vs the unchunked builder: per-layer deep-supervision heads
+  are not available through the streaming path, so the loss covers the
+  final heads only (intermediate losses are a training-efficiency aid in
+  the reference, not part of the long-video fine-tune objective).
+  """
+  from tapnet_tpu.models import tapnext_losses
+
+  def loss_fn(params, model_state, batch, rng):
+    del rng
+    video = batch["video"]
+    qp = batch["query_points"]
+    b, t = video.shape[:2]
+    if t % chunk_size:
+      raise ValueError(
+          f"num_frames {t} must be a multiple of chunk_size {chunk_size}"
+      )
+    variables = {"params": params, **model_state}
+
+    def first(params_, frames):
+      r = model.apply(
+          {"params": params_, **model_state},
+          frames,
+          qp,
+          method=model.forward_step,
+      )
+      return r.tracks, r.track_logits, r.visible_logits, r.state
+
+    def body(state, frames):
+      r = model.apply(
+          variables, frames, None, None, state, method=model.forward_step
+      )
+      return r.state, (r.tracks, r.track_logits, r.visible_logits)
+
+    tracks0, logits0, vis0, state = jax.checkpoint(first)(
+        params, video[:, :chunk_size]
+    )
+    num_rest = t // chunk_size - 1
+    if num_rest:
+      rest = video[:, chunk_size:].reshape(
+          (b, num_rest, chunk_size) + video.shape[2:]
+      ).swapaxes(0, 1)
+      state, (tracks_r, logits_r, vis_r) = jax.lax.scan(
+          jax.checkpoint(body), state, rest
+      )
+
+      def join(first_chunk, scanned):
+        # [K, B, Q, chunk, ...] -> [B, Q, K*chunk, ...]
+        k = scanned.shape[0]
+        merged = jnp.moveaxis(scanned, 0, 2).reshape(
+            first_chunk.shape[:2]
+            + (k * chunk_size,)
+            + first_chunk.shape[3:]
+        )
+        return jnp.concatenate([first_chunk, merged], axis=2)
+
+      tracks = join(tracks0, tracks_r)
+      logits = join(logits0, logits_r)
+      vis = join(vis0, vis_r)
+    else:
+      tracks, logits, vis = tracks0, logits0, vis0
+
+    results = SimpleNamespace(
+        tracks=tracks,
+        track_logits=logits,
+        visible_logits=vis,
+        intermediate_tracks=[],
+        intermediate_track_logits=[],
+        intermediate_visible_logits=[],
     )
     target_yx = batch["target_points"][..., ::-1]
     visible = 1.0 - batch["occluded"]

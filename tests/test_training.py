@@ -485,3 +485,78 @@ def test_load_tapir_checkpoint_native_format(tmp_path):
       query_chunk_size=4,
   )
   assert np.isfinite(np.asarray(out["tracks"])).all()
+
+
+class TestTapnextChunkedTraining:
+  """Time-chunked BPTT for the tapnextpp long-video recipe: chunked
+  forward_step scans must reproduce the full-clip loss (the temporal
+  mixer is exactly recurrent), including queries landing in later
+  chunks, with finite gradients through the carried SSM state."""
+
+  def _setup(self):
+    from tapnet_tpu.models import ssm_vit, tapnext
+
+    cfg = ssm_vit.SsmVitConfig(
+        width=32, depth=2, mlp_dim=64, num_heads=2,
+        patch_size=(1, 8, 8), image_size=(32, 32),
+    )
+    model = tapnext.TAPNextTracker(config=cfg)
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(
+        rng.rand(1, 4, 32, 32, 3).astype(np.float32) * 2 - 1
+    )
+    # One query in chunk 0, one in chunk 1 (cross-chunk injection).
+    qp = jnp.asarray(
+        np.array([[[0.0, 10.0, 12.0], [3.0, 20.0, 8.0]]], np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), video, qp)["params"]
+    batch = {
+        "video": video,
+        "query_points": qp,
+        "target_points": jnp.asarray(
+            rng.rand(1, 2, 4, 2).astype(np.float32) * 32
+        ),
+        "occluded": jnp.asarray(
+            (rng.rand(1, 2, 4) > 0.7).astype(np.float32)
+        ),
+    }
+    return model, params, batch
+
+  def test_chunked_matches_full_loss(self):
+    model, params, batch = self._setup()
+    chunked = trainer.tapnext_chunked_loss_builder(
+        model, trainer.TaskConfig(), chunk_size=2
+    )
+    full = trainer.tapnext_loss_builder(model, trainer.TaskConfig())
+    rng = jax.random.PRNGKey(0)
+    _, (s_chunked, _) = chunked(params, {}, batch, rng)
+    _, (s_full, _) = full(params, {}, batch, rng)
+    # Final-head terms must match; the chunked path has no deep
+    # supervision so total losses differ by the intermediate terms.
+    for key in ("coordinate_loss", "huber_loss", "visible_loss"):
+      np.testing.assert_allclose(
+          float(s_chunked[key]), float(s_full[key]), rtol=2e-4, atol=2e-4,
+          err_msg=key,
+      )
+
+  def test_chunked_gradients_finite_and_cross_chunk(self):
+    model, params, batch = self._setup()
+    loss_fn = trainer.tapnext_chunked_loss_builder(
+        model, trainer.TaskConfig(), chunk_size=2
+    )
+    grads = jax.grad(
+        lambda p: loss_fn(p, {}, batch, jax.random.PRNGKey(0))[0]
+    )(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # Gradient actually reaches the backbone (through the scan carry).
+    norm = float(optax.global_norm(grads))
+    assert norm > 0.0
+
+  def test_rejects_non_divisible_frames(self):
+    model, params, batch = self._setup()
+    loss_fn = trainer.tapnext_chunked_loss_builder(
+        model, trainer.TaskConfig(), chunk_size=3
+    )
+    with pytest.raises(ValueError, match="multiple of chunk_size"):
+      loss_fn(params, {}, batch, jax.random.PRNGKey(0))
