@@ -22,7 +22,7 @@ Array = jnp.ndarray
 
 
 @functools.partial(
-    jax.jit, static_argnums=(1, 2, 3, 4, 5, 6)
+    jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7)
 )
 def make_batch(
     rng: Array,
@@ -32,8 +32,14 @@ def make_batch(
     width: int = 256,
     num_queries: int = 32,
     num_sprites: int = 6,
+    vel_range: float = 3.0,
 ) -> Mapping[str, Array]:
-  """Generates one batch {video, query_points, target_points, occluded}."""
+  """Generates one batch {video, query_points, target_points, occluded}.
+
+  `num_sprites` / `vel_range` (max px/frame sprite speed) shift the data
+  distribution — e.g. a crowded fast domain for domain-adaptation
+  experiments (the BootsTAP self-training demonstration).
+  """
 
   def one_example(rng):
     keys = jax.random.split(rng, 8)
@@ -48,7 +54,7 @@ def make_batch(
         maxval=jnp.array([height * 0.8, width * 0.8]),
     )
     vel = jax.random.uniform(
-        keys[2], (num_sprites, 2), minval=-3.0, maxval=3.0
+        keys[2], (num_sprites, 2), minval=-vel_range, maxval=vel_range
     )
     half = jax.random.uniform(
         keys[3], (num_sprites, 1),
@@ -177,6 +183,7 @@ def export_npz(
     width: int = 256,
     num_queries: int = 64,
     num_sprites: int = 6,
+    vel_range: float = 3.0,
 ) -> None:
   """Writes a fixed synthetic dataset in the Kubric npz layout.
 
@@ -195,7 +202,8 @@ def export_npz(
   for i in range(num_examples):
     rng, key = jax.random.split(rng)
     batch = make_batch(
-        key, 1, num_frames, height, width, num_queries, num_sprites
+        key, 1, num_frames, height, width, num_queries, num_sprites,
+        vel_range,
     )
     video = np.asarray(batch["video"][0])
     np.savez(
