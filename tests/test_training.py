@@ -560,3 +560,47 @@ class TestTapnextChunkedTraining:
     )
     with pytest.raises(ValueError, match="multiple of chunk_size"):
       loss_fn(params, {}, batch, jax.random.PRNGKey(0))
+
+
+def test_run_cli_resume_preserves_schedule(tmp_path, capsys):
+  """Two CLI invocations with --total_steps: the second resumes from the
+  checkpoint at the right step and continues the SAME cosine schedule
+  (lr indexed by absolute step against the fixed horizon)."""
+  import sys as _sys
+
+  from tapnet_tpu.training import run as run_cli
+
+  ckpt_dir = str(tmp_path / "ckpt")
+  base = [
+      "run", "--experiment", "tapir", "--smoke", "--synthetic",
+      "--total_steps", "8", "--log_every", "2",
+      # batch divisible by the 8-device test mesh
+      "--batch_size", "8",
+      "--checkpoint_dir", ckpt_dir, "--checkpoint_every", "2",
+  ]
+  old_argv = _sys.argv
+  try:
+    _sys.argv = base + ["--num_steps", "4", "--seed", "0"]
+    run_cli.main()
+    _sys.argv = base + ["--num_steps", "2", "--seed", "1"]
+    run_cli.main()
+  finally:
+    _sys.argv = old_argv
+  out = capsys.readouterr().out
+  assert "finished at step 4" in out
+  assert "finished at step 6" in out
+
+  import json
+
+  records = [
+      json.loads(l)
+      for l in open(tmp_path / "ckpt" / "train_log.jsonl")
+  ]
+  lr_by_step = {r["step"]: r["learning_rate"] for r in records
+                if r["kind"] == "train"}
+  # Post-warmup (warmup_steps=2 in smoke), the cosine over the FIXED
+  # 8-step horizon decays monotonically across the resume boundary.
+  steps = sorted(s for s in lr_by_step if s > 2)
+  assert steps, "no post-warmup lr records"
+  lrs = [lr_by_step[s] for s in steps]
+  assert all(a > b for a, b in zip(lrs, lrs[1:])), (steps, lrs)
