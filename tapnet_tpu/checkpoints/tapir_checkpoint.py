@@ -144,4 +144,13 @@ def load_tapir_checkpoint(path: str) -> Dict[str, Any]:
   params = ckpt.get("params", ckpt)
   if any("/" in str(k) for k in params):
     return convert_haiku_tapir_params(params)
-  return params
+
+  def upcast(v):
+    # Compact artifacts (tools/export_trained_params.py) store float16;
+    # restore fp32 so compute-dtype handling stays uniform downstream.
+    if isinstance(v, dict):
+      return {k: upcast(x) for k, x in v.items()}
+    arr = np.asarray(v)
+    return arr.astype(np.float32) if arr.dtype == np.float16 else arr
+
+  return upcast(params)

@@ -604,3 +604,29 @@ def test_run_cli_resume_preserves_schedule(tmp_path, capsys):
   assert steps, "no post-warmup lr records"
   lrs = [lr_by_step[s] for s in steps]
   assert all(a > b for a, b in zip(lrs, lrs[1:])), (steps, lrs)
+
+
+def test_export_trained_params_roundtrip(tmp_path):
+  """Compact f16 params artifact: exported from a training checkpoint,
+  reloaded as fp32 through load_tapir_checkpoint."""
+  import subprocess
+  import sys as _sys
+
+  from tapnet_tpu.checkpoints import tapir_checkpoint
+  from tapnet_tpu.training import checkpointing
+
+  params = {"mixer": {"w": np.ones((4, 4), np.float32) * 0.125,
+                      "step_like_int": np.arange(3, dtype=np.int32)}}
+  src = str(tmp_path / "checkpoint.npy")
+  dst = str(tmp_path / "trained_params_f16.npy")
+  checkpointing.save_checkpoint(
+      src, dict(params=params, opt_state={"m": np.zeros(9)}, step=123)
+  )
+  subprocess.run(
+      [_sys.executable, "tools/export_trained_params.py", src, dst],
+      check=True, cwd="/root/repo",
+  )
+  loaded = tapir_checkpoint.load_tapir_checkpoint(dst)
+  assert loaded["mixer"]["w"].dtype == np.float32
+  np.testing.assert_allclose(loaded["mixer"]["w"], 0.125)
+  assert loaded["mixer"]["step_like_int"].dtype == np.int32
