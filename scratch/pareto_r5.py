@@ -69,6 +69,31 @@ def variants():
       "H-B+int8corr-only": (
           dict(single, quantized_corr=True), [(RES, RES)]
       ),
+      # Round-2 ladder: the winners from the first pass, without the
+      # per-position int8corr slowdown, plus the zero-overhead per-frame
+      # int8corr mode and iteration sweeps of the accuracy config.
+      "I-D-2iter": (
+          dict(single, quantized_mixer=True, quantized_extra_convs=True,
+               num_pips_iter=2),
+          [(RES, RES)],
+      ),
+      "J-D-3iter": (
+          dict(single, quantized_mixer=True, quantized_extra_convs=True,
+               num_pips_iter=3),
+          [(RES, RES)],
+      ),
+      "K-I+pfcorr": (
+          dict(single, quantized_mixer=True, quantized_extra_convs=True,
+               quantized_corr="per_frame", num_pips_iter=2),
+          [(RES, RES)],
+      ),
+      "L-D+pfcorr": (
+          dict(single, quantized_mixer=True, quantized_extra_convs=True,
+               quantized_corr="per_frame"),
+          [(RES, RES)],
+      ),
+      "M-twores-2iter": (dict(base, num_pips_iter=2), None),
+      "N-twores-3iter": (dict(base, num_pips_iter=3), None),
   }
   return v
 

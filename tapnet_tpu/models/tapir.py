@@ -92,12 +92,14 @@ class TapirConfig:
   # speed/drift ladder). Opt-in.
   quantized_extra_convs: "bool | str" = False
   # Inference speed mode: run the local-correlation contraction of the
-  # fused corr+tents kernel in w8a8 int8 (grid quantized per position with
-  # scales applied before the tent contraction, query descriptors per row
-  # with scales folded into the output; int32 MXU accumulation, bf16
-  # tents). Also halves the kernel's feature-grid HBM reads. Requires
-  # use_fused_corr. Opt-in; drift in PERFORMANCE.md.
-  quantized_corr: bool = False
+  # fused corr+tents kernel in w8a8 int8 (int32 MXU accumulation, bf16
+  # tents). "per_frame" = scalar grid + per-descriptor query scales, all
+  # folded into the kernel output (zero added in-kernel work; recommended).
+  # True = per-position grid scales applied in-kernel — tighter
+  # quantization but measured SLOWER end-to-end at 480p (the kernel is
+  # VPU-bound). Also halves the kernel's feature-grid HBM reads. Requires
+  # use_fused_corr. Opt-in; measured AJ deltas in PERFORMANCE.md.
+  quantized_corr: "bool | str" = False
   # NOTE: a quantized_backbone (w8a8 ResNet) mode existed briefly and was
   # REMOVED after end-to-end measurement showed no win (the backbone is
   # HBM-bound, not MXU-bound) — see PERFORMANCE.md dead ends.
@@ -518,7 +520,12 @@ class TAPIR(nn.Module):
     cfg = self.config
     p = cfg.patch_size
     orig_h, orig_w = orig_hw
-    h, w = grid.shape[2:4]
+    # Pre-quantized per-frame int8 grids arrive as (int8, [B, T] scale)
+    # tuples (see estimate_trajectories; quantization hoisted out of the
+    # chunk/iteration loops).
+    prequant = isinstance(grid, tuple)
+    grid_arr = grid[0] if prequant else grid
+    h, w = grid_arr.shape[2:4]
     # (y, x) in grid raster coords.
     coords = transforms.convert_grid_coordinates(
         pos_guess, (orig_w, orig_h), (w, h)
@@ -531,9 +538,8 @@ class TAPIR(nn.Module):
       # HBM correlation volume (ops/corr_tents.py).
       from tapnet_tpu.ops import corr_tents
 
-      b, t = grid.shape[:2]
+      b, t = grid_arr.shape[:2]
       n = query.shape[1]
-      grid_bt = grid.reshape((b * t,) + grid.shape[2:]).astype(cfg.dtype)
       if per_frame_query:
         q_bt = query.transpose(0, 2, 1, 3)
       else:
@@ -544,9 +550,19 @@ class TAPIR(nn.Module):
       cyx = coords - 0.5  # [B, N, T, 2] (y, x) index space
       cy = cyx[..., 0].transpose(0, 2, 1).reshape(b * t, n)
       cx = cyx[..., 1].transpose(0, 2, 1).reshape(b * t, n)
-      pat = corr_tents.corr_tent_patches(
-          grid_bt, q_bt, cy, cx, p, cfg.quantized_corr
-      )
+      if prequant:
+        g_bt = grid_arr.reshape((b * t,) + grid_arr.shape[2:])
+        scale_bt = grid[1].reshape(b * t)
+        pat = corr_tents.corr_tent_patches_prequantized(
+            g_bt, scale_bt, q_bt, cy, cx, p
+        )
+      else:
+        grid_bt = grid.reshape(
+            (b * t,) + grid.shape[2:]
+        ).astype(cfg.dtype)
+        pat = corr_tents.corr_tent_patches(
+            grid_bt, q_bt, cy, cx, p, cfg.quantized_corr
+        )
       # [B*T, p, p, N] -> [B, N, T, p*p]
       pat = pat.reshape(b, t, p, p, n).transpose(0, 4, 1, 2, 3)
       return pat.reshape(b, n, t, p * p)
@@ -740,6 +756,27 @@ class TAPIR(nn.Module):
       for _ in range(cfg.pyramid_level):
         pyramid.append(_avg_pool_2x(pyramid[-1]))
       pyramids.append(pyramid)
+
+    if (
+        cfg.quantized_corr == "per_frame"
+        and not is_training  # prequantized path is inference-only (no VJP)
+        and cfg.use_matmul_corr
+        and cfg.use_fused_corr
+        and not cfg.use_gather_tents
+    ):
+      # Per-frame int8 correlation: quantize each pyramid grid ONCE here
+      # (chunk- and iteration-independent) — re-quantizing inside the
+      # loops was measured to cost more than the int8 MXU saving
+      # (PERFORMANCE.md r5). _corr_patches receives (int8, scale) tuples.
+      from tapnet_tpu.ops import corr_tents as corr_tents_lib
+
+      pyramids = [
+          [
+              corr_tents_lib.quantize_per_frame(g.astype(cfg.dtype))
+              for g in pyr
+          ]
+          for pyr in pyramids
+      ]
 
     im_shape = (
         feature_grids.lowres[0].shape[0:2] + cfg.initial_resolution + (3,)

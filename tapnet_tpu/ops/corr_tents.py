@@ -95,12 +95,67 @@ def _math_reference(grid, query, cy, cx, p):
   return pat.transpose(0, 2, 3, 1)  # [BT, p, p, N]
 
 
-def _math_reference_quantized(grid, query, cy, cx, p):
-  """int8 formulation mirroring the quantized kernel: grid quantized
-  per position, query per descriptor, int32 correlation, per-position
-  grid scales applied before the (bf16) tent contraction, per-query
-  scales folded into the output."""
-  gq, gs = _quantize_lastdim(grid)  # [BT,H,W] scales
+def quantize_per_frame(grid):
+  """Pre-quantizes feature grids for the per-frame int8 correlation mode.
+
+  [..., H, W, C] -> (int8 grid, fp32 scalar scale per leading index).
+  Hoist this OUT of the refinement chunk/iteration loops: re-quantizing
+  the same grids inside the loop was measured to cost more than the int8
+  MXU saving (PERFORMANCE.md r5).
+  """
+  gf = grid.astype(jnp.float32)
+  axes = tuple(range(grid.ndim - 3, grid.ndim))
+  amax = jnp.maximum(
+      jnp.max(jnp.abs(gf), axis=axes, keepdims=True), 1e-8
+  )
+  q = jnp.clip(
+      jnp.round(gf * (127.0 / amax)), -127.0, 127.0
+  ).astype(jnp.int8)
+  return q, (amax * (1.0 / 127.0)).reshape(grid.shape[:-3])
+
+
+def _math_reference_prequantized(grid_q8, frame_scale, query, cy, cx, p):
+  """Einsum mirror of the pre-quantized per-frame kernel path: int32
+  correlation -> bf16 tents, all scales folded into the output."""
+  qq, qs = _quantize_lastdim(query)
+  corr_i = jnp.einsum(
+      "bhwc,bnc->bnhw",
+      grid_q8.astype(jnp.int8),
+      qq.astype(jnp.int8),
+      preferred_element_type=jnp.int32,
+  )
+  corrs = corr_i.astype(jnp.bfloat16)
+  h, w = grid_q8.shape[1:3]
+  wy = _tent_weights(cy.astype(jnp.float32), h, p).astype(jnp.bfloat16)
+  wx = _tent_weights(cx.astype(jnp.float32), w, p).astype(jnp.bfloat16)
+  pat = jnp.einsum(
+      "bnph,bnhw->bnpw", wy, corrs, preferred_element_type=jnp.float32
+  ).astype(jnp.bfloat16)
+  pat = jnp.einsum(
+      "bnqw,bnpw->bnpq", wx, pat, preferred_element_type=jnp.float32
+  )
+  pat = pat * (qs * frame_scale[:, None])[:, :, None, None]
+  return pat.transpose(0, 2, 3, 1)  # [BT, p, p, N]
+
+
+def _math_reference_quantized(grid, query, cy, cx, p, per_frame=False):
+  """int8 formulation mirroring the quantized kernel: grid quantized per
+  position (or per frame with a scalar scale), query per descriptor,
+  int32 correlation, grid scales applied before the (bf16) tent
+  contraction, per-query scales folded into the output."""
+  if per_frame:
+    gf = grid.astype(jnp.float32)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(gf), axis=(1, 2, 3), keepdims=True), 1e-8
+    )
+    gq = jnp.clip(
+        jnp.round(gf * (127.0 / amax)), -127.0, 127.0
+    ).astype(jnp.int8)
+    gs = jnp.broadcast_to(
+        amax[..., 0] * (1.0 / 127.0), grid.shape[:3]
+    )  # [BT,H,W] (constant per frame)
+  else:
+    gq, gs = _quantize_lastdim(grid)  # [BT,H,W] scales
   qq, qs = _quantize_lastdim(query)  # [BT,N] scales
   corr_i = jnp.einsum(
       "bhwc,bnc->bnhw",
@@ -125,23 +180,25 @@ def _math_reference_quantized(grid, query, cy, cx, p):
 
 
 def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p, gs_ref=None):
-  g = g_ref[0]  # [H, W, C] (compute dtype, or int8 on the quantized path)
+  g = g_ref[0]  # [H, W, C] (compute dtype, or int8 on the quantized paths)
   q = q_ref[0]  # [NT, C]
   h, w, _ = g.shape
   nt = q.shape[0]
-  quantized = gs_ref is not None
+  int8_in = g.dtype == jnp.int8
 
   cy = cy_ref[0, 0].astype(jnp.float32)  # [NT]
   cx = cx_ref[0, 0].astype(jnp.float32)
   half = (p - 1) / 2
 
   # Correlation (MXU; fp32 accumulation -> compute dtype, or int8 x int8 ->
-  # int32 with per-position grid scales applied on dequant) and stage-1
-  # tent contraction Y[p, w, n] = sum_h wy[h, p, n] * corr[h, w, n] (VPU),
-  # slab-by-slab over H so only [slab, W, NT] slices are ever live. Tent
-  # weights are rebuilt per tap from iotas (slicing a precomputed [H, p, NT]
-  # tensor produces offset layouts Mosaic cannot reduce over).
-  tent_dtype = jnp.bfloat16 if quantized else g.dtype
+  # int32; per-position grid scales, when given, applied on dequant — the
+  # per-frame-scalar mode instead folds ALL scales into the output outside
+  # the kernel, adding zero VPU work here) and stage-1 tent contraction
+  # Y[p, w, n] = sum_h wy[h, p, n] * corr[h, w, n] (VPU), slab-by-slab over
+  # H so only [slab, W, NT] slices are ever live. Tent weights are rebuilt
+  # per tap from iotas (slicing a precomputed [H, p, NT] tensor produces
+  # offset layouts Mosaic cannot reduce over).
+  tent_dtype = jnp.bfloat16 if int8_in else g.dtype
   ys = [jnp.zeros((w, nt), jnp.float32) for _ in range(p)]
   for s in range(0, h, _H_SLAB):
     hs = min(_H_SLAB, h - s)
@@ -149,9 +206,9 @@ def _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, *, p, gs_ref=None):
         g[s : s + hs],
         q,
         dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32 if quantized else jnp.float32,
+        preferred_element_type=jnp.int32 if int8_in else jnp.float32,
     )  # [hs, W, NT]
-    if quantized:
+    if gs_ref is not None:
       corr_s = (
           corr_s.astype(jnp.float32) * gs_ref[0][s : s + hs][..., None]
       )
@@ -183,7 +240,8 @@ def _kernel_quantized(g_ref, q_ref, gs_ref, cy_ref, cx_ref, out_ref, *, p):
   _kernel(g_ref, q_ref, cy_ref, cx_ref, out_ref, p=p, gs_ref=gs_ref)
 
 
-def _pallas_forward(grid, query, cy, cx, p, quantized=False):
+def _pallas_forward(grid, query, cy, cx, p, quantized=False,
+                    frame_scale=None):
   bt, h, w, c = grid.shape
   n = query.shape[1]
   tile_n = _TILE_N
@@ -205,11 +263,39 @@ def _pallas_forward(grid, query, cy, cx, p, quantized=False):
   )
   operands = [grid, query]
   in_specs = [grid_spec, query_spec]
-  if quantized:
+  if frame_scale is not None:
+    # Grid arrives pre-quantized (quantize_per_frame, hoisted out of the
+    # refinement loops); only the (cheap, per-call) query quantization
+    # happens here. All scales fold into the output.
+    quantized = "per_frame"
+    qq, qs = _quantize_lastdim(query)
+    operands = [grid, qq]
+    kernel = functools.partial(_kernel, p=p)
+  elif quantized == "per_frame":
+    # int8 MXU path with ZERO added in-kernel work: one scalar scale per
+    # frame grid and one per query descriptor, both pure per-output
+    # factors folded in after the kernel (patches[b, :, :, n] *=
+    # gs[b] * qs[b, n]). Halves the grid's HBM read traffic. Coarser
+    # quantization than per-position, but grids are L2-normalized per
+    # position so the dynamic range within a frame is bounded.
+    gf = grid.astype(jnp.float32)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(gf), axis=(1, 2, 3), keepdims=True), 1e-8
+    )
+    gq = jnp.clip(
+        jnp.round(gf * (127.0 / amax)), -127.0, 127.0
+    ).astype(jnp.int8)
+    frame_scale = amax[:, 0, 0, 0] * (1.0 / 127.0)  # [BT]
+    qq, qs = _quantize_lastdim(query)
+    operands = [gq, qq]
+    kernel = functools.partial(_kernel, p=p)
+  elif quantized:
     # int8 MXU path: grid quantized per position (scales applied in-kernel
     # before the tent contraction mixes positions), query per descriptor
     # (a pure per-output-column factor, folded in after the kernel). Also
-    # halves the grid's HBM read traffic.
+    # halves the grid's HBM read traffic. NOTE: measured SLOWER end-to-end
+    # than bf16 at 480p (the kernel is VPU-bound and the in-kernel
+    # dequant multiply adds VPU work) — prefer "per_frame".
     gq, gs = _quantize_lastdim(grid)
     qq, qs = _quantize_lastdim(query)
     operands = [gq, qq, gs]
@@ -242,6 +328,8 @@ def _pallas_forward(grid, query, cy, cx, p, quantized=False):
   )(*operands, cy[:, None, :], cx[:, None, :])
   if quantized:
     out = out * qs[:, None, None, :]
+    if frame_scale is not None:
+      out = out * frame_scale[:, None, None, None]
   return out[..., :n] if pad_n else out
 
 
@@ -265,20 +353,30 @@ def corr_tent_patches(
     query: [BT, N, C] per-frame query descriptors.
     cy / cx: [BT, N] patch centers in grid index space (raster - 0.5).
     p: patch size (odd).
-    quantized: w8a8 int8 correlation on the MXU (int32 accumulation;
-      per-position grid scales, per-descriptor query scales). The tent
-      contraction stays bf16/fp32. Opt-in accuracy/speed trade, like the
-      quantized mixer/ExtraConvs modes.
+    quantized: w8a8 int8 correlation on the MXU (int32 accumulation).
+      "per_frame" = scalar grid scale per frame + per-descriptor query
+      scales, ALL folded into the output (zero added in-kernel work —
+      the recommended mode). True = per-position grid scales applied
+      in-kernel (tighter quantization; measured slower end-to-end at
+      480p because the kernel is VPU-bound). The tent contraction stays
+      bf16/fp32. Opt-in accuracy/speed trade, like the quantized
+      mixer/ExtraConvs modes.
 
   Returns:
     [BT, p, p, N] fp32 tent-interpolated correlation patches.
   """
   if FORCE_INTERPRET:
     return _pallas_forward(grid, query, cy, cx, p, quantized)
-  math_ref = _math_reference_quantized if quantized else _math_reference
+  math_ref = (
+      functools.partial(
+          _math_reference_quantized, per_frame=quantized == "per_frame"
+      )
+      if quantized
+      else _math_reference
+  )
   frame_bytes = int(np.prod(grid.shape[1:])) * grid.dtype.itemsize
   if frame_bytes > _MAX_FRAME_BYTES:
-    return math_ref(grid, query, cy, cx, p)
+    return math_ref(grid, query, cy, cx, p=p)
   return jax.lax.platform_dependent(
       grid,
       query,
@@ -286,6 +384,45 @@ def corr_tent_patches(
       cx,
       tpu=functools.partial(_pallas_forward, p=p, quantized=quantized),
       default=functools.partial(math_ref, p=p),
+  )
+
+
+def corr_tent_patches_prequantized(
+    grid_q8, frame_scale, query, cy, cx, p: int = 7
+):
+  """Per-frame int8 correlation patches from a PRE-quantized grid.
+
+  Inference-only (no VJP): the grid is quantized once per video via
+  `quantize_per_frame` and reused across every refinement iteration and
+  query chunk, so the quantization sweep is paid once instead of
+  per-call.
+
+  Args:
+    grid_q8: [BT, H, W, C] int8 (from quantize_per_frame).
+    frame_scale: [BT] fp32 per-frame scales.
+    query / cy / cx / p: as corr_tent_patches.
+  """
+  if FORCE_INTERPRET:
+    return _pallas_forward(
+        grid_q8, query, cy, cx, p, frame_scale=frame_scale
+    )
+  frame_bytes = int(np.prod(grid_q8.shape[1:]))
+  if frame_bytes > _MAX_FRAME_BYTES:
+    return _math_reference_prequantized(
+        grid_q8, frame_scale, query, cy, cx, p
+    )
+  return jax.lax.platform_dependent(
+      grid_q8,
+      frame_scale,
+      query,
+      cy,
+      cx,
+      tpu=functools.partial(
+          lambda g, fs, q, cy_, cx_: _pallas_forward(
+              g, q, cy_, cx_, p, frame_scale=fs
+          )
+      ),
+      default=functools.partial(_math_reference_prequantized, p=p),
   )
 
 

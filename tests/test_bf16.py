@@ -115,3 +115,34 @@ def test_quantized_corr_close_to_fp32():
   o_fp, o_q = p_fp(video, qp), p_q(video, qp)
   assert np.isfinite(o_q["tracks"]).all()
   assert np.abs(o_fp["tracks"] - o_q["tracks"]).max() < 1.5
+
+
+def test_per_frame_quantized_corr_model_path():
+  """quantized_corr='per_frame' end-to-end: the hoisted pre-quantization
+  path produces tracks close to fp32 and identical-shape outputs."""
+  import dataclasses
+
+  model_cfg = dataclasses.replace(CFG, quantized_corr="per_frame")
+  model = tapir_lib.TAPIR(config=model_cfg)
+  rng = np.random.RandomState(12)
+  video = jnp.asarray(rng.rand(1, 4, 32, 40, 3).astype(np.float32) * 2 - 1)
+  qp = jnp.asarray(
+      np.stack(
+          [
+              rng.randint(0, 4, (1, 4)).astype(np.float32),
+              rng.rand(1, 4) * 32,
+              rng.rand(1, 4) * 40,
+          ],
+          axis=-1,
+      )
+  )
+  params = tapir_lib.TAPIR(config=CFG).init(
+      jax.random.PRNGKey(0), video, qp
+  )["params"]
+  p_fp = inference.TapirPredictor(params, CFG, query_bucket=4,
+                                  query_chunk_size=4)
+  p_q = inference.TapirPredictor(params, model_cfg, query_bucket=4,
+                                 query_chunk_size=4)
+  o_fp, o_q = p_fp(video, qp), p_q(video, qp)
+  assert np.isfinite(o_q["tracks"]).all()
+  assert np.abs(o_fp["tracks"] - o_q["tracks"]).max() < 1.5

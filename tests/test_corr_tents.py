@@ -149,3 +149,56 @@ class TestQuantizedCorr:
     # the fp-forward gradients.
     g_q = jax.grad(loss_q, argnums=(0, 1))(args[0], args[1])
     assert all(np.isfinite(np.asarray(g)).all() for g in g_q)
+
+  def test_per_frame_kernel_matches_reference(self, force_interpret):
+    args = make_inputs(seed=6)
+    out = corr_tents._pallas_forward(*args, 7, quantized="per_frame")
+    ref = corr_tents._math_reference_quantized(*args, 7, per_frame=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+  def test_per_frame_drift_vs_fp_small(self):
+    rng = np.random.RandomState(8)
+    bt, h, w, c, n = 2, 16, 12, 32, 7
+    grid = rng.randn(bt, h, w, c).astype(np.float32)
+    grid /= np.linalg.norm(grid, axis=-1, keepdims=True)
+    query = rng.randn(bt, n, c).astype(np.float32)
+    query /= np.linalg.norm(query, axis=-1, keepdims=True)
+    cy = (rng.rand(bt, n) * h).astype(np.float32)
+    cx = (rng.rand(bt, n) * w).astype(np.float32)
+    fp = np.asarray(corr_tents._math_reference(
+        jnp.asarray(grid), jnp.asarray(query), jnp.asarray(cy),
+        jnp.asarray(cx), 7))
+    q8 = np.asarray(corr_tents._math_reference_quantized(
+        jnp.asarray(grid), jnp.asarray(query), jnp.asarray(cy),
+        jnp.asarray(cx), 7, per_frame=True))
+    err = np.abs(q8 - fp).max()
+    assert err < 0.08, f"per-frame int8 corr drift too large: {err}"
+
+  def test_prequantized_matches_inline_per_frame(self, force_interpret):
+    args = make_inputs(seed=9)
+    grid, query, cy, cx = args
+    inline = corr_tents._pallas_forward(
+        grid, query, cy, cx, 7, quantized="per_frame"
+    )
+    g8, fs = corr_tents.quantize_per_frame(grid)
+    pre = corr_tents._pallas_forward(
+        g8, query, cy, cx, 7, frame_scale=fs
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre), np.asarray(inline), rtol=1e-5, atol=1e-5
+    )
+
+  def test_prequantized_math_reference(self):
+    grid, query, cy, cx = make_inputs(seed=10)
+    g8, fs = corr_tents.quantize_per_frame(grid)
+    pre = corr_tents.corr_tent_patches_prequantized(
+        g8, fs, query, cy, cx, 7
+    )
+    inline = corr_tents._math_reference_quantized(
+        grid, query, cy, cx, 7, per_frame=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre), np.asarray(inline), rtol=2e-2, atol=2e-2
+    )
