@@ -94,6 +94,23 @@ def variants():
       ),
       "M-twores-2iter": (dict(base, num_pips_iter=2), None),
       "N-twores-3iter": (dict(base, num_pips_iter=3), None),
+      # Round-3 ladder: hoisted per-frame int8 corr (quantize once per
+      # pyramid grid) and int8 on the accuracy config.
+      "K2-I+pfcorr-hoisted": (
+          dict(single, quantized_mixer=True, quantized_extra_convs=True,
+               quantized_corr="per_frame", num_pips_iter=2),
+          [(RES, RES)],
+      ),
+      "O-twores2iter+int8": (
+          dict(base, num_pips_iter=2, quantized_mixer=True,
+               quantized_extra_convs=True),
+          None,
+      ),
+      "P-O+pfcorr": (
+          dict(base, num_pips_iter=2, quantized_mixer=True,
+               quantized_extra_convs=True, quantized_corr="per_frame"),
+          None,
+      ),
   }
   return v
 
