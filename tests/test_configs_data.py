@@ -45,7 +45,13 @@ class TestConfigs:
     assert exp.model_kind == "tapnext"
     assert exp.data.num_frames == 1024
     assert exp.data.geometric_augment
-    assert exp.loss_builder is trainer.tapnext_loss_builder
+    # Long-clip training goes through the time-chunked BPTT builder
+    # (full-T ViT-B activations exceed HBM; see trainer).
+    assert exp.train_time_chunk == 128
+    assert exp.data.num_frames % exp.train_time_chunk == 0
+    lb = exp.loss_builder
+    assert lb.func is trainer.tapnext_chunked_loss_builder
+    assert lb.keywords == {"chunk_size": 128}
     assert exp.optimizer.base_lr < configs.get_experiment(
         "tapnext"
     ).optimizer.base_lr  # fine-tune LR

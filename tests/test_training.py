@@ -274,9 +274,12 @@ class TestTapnextTraining:
     exp = dataclasses.replace(
         exp,
         data=dataclasses.replace(
-            exp.data, num_frames=3, num_queries=8, batch_size=4,
+            exp.data, num_frames=4, num_queries=8, batch_size=4,
             train_size=(32, 32),
         ),
+        # Shrink the preset's time-chunked BPTT to 2-frame chunks so the
+        # sharded step still exercises the chunked scan path.
+        train_time_chunk=2,
     )
     t = trainer.Trainer(
         exp.build_model(),
@@ -286,7 +289,10 @@ class TestTapnextTraining:
         mesh=mesh_lib.make_mesh(model_parallel=2),
         loss_builder=exp.loss_builder,
     )
-    batch = tiny_batch()
+    batch = next(synthetic.batch_iterator(
+        seed=0, batch_size=4, num_frames=4, height=32, width=32,
+        num_queries=8,
+    ))
     state = t.init_state(batch)
     state, scalars = t.step_fn(
         state, mesh_lib.shard_batch(batch, t.mesh), jax.random.PRNGKey(0)
