@@ -67,6 +67,16 @@ def main():
   ap.add_argument("--eval_dir_a", default="runs/synth_eval")
   ap.add_argument("--batch_size", type=int, default=4)
   ap.add_argument("--num_frames", type=int, default=16)
+  # Self-training stability knobs. Attempt 1 (lr 1e-4, ema 0.99, gate 0)
+  # COLLAPSED (AJ 0.53 -> 0.16 on domain B): with ~47% of teacher
+  # pseudo-labels wrong out-of-domain, an ungated consistency loss plus a
+  # fast-following teacher is a confirmation-bias spiral. Defaults below
+  # are the conservative regime: only confidently-visible teacher points
+  # supervise, the teacher moves 10x slower, the student takes small steps.
+  ap.add_argument("--lr", type=float, default=2e-5)
+  ap.add_argument("--ema", type=float, default=0.999)
+  ap.add_argument("--gate", type=float, default=-1.0)
+  ap.add_argument("--tag", default="")
   args = ap.parse_args()
 
   if not os.path.exists(
@@ -102,7 +112,7 @@ def main():
       yield {"video": batch["video"]}
 
   opt = optimizers.OptimizerConfig(
-      base_lr=1e-4, warmup_steps=100, weight_decay=1e-2, adam_b2=0.95
+      base_lr=args.lr, warmup_steps=100, weight_decay=0.0, adam_b2=0.95
   )
   tx = optimizers.make_optimizer(
       opt, optimizers.make_lr_schedule(opt, args.steps)
@@ -110,7 +120,8 @@ def main():
   ckpt_path = os.path.join(args.out_dir, "bootstrap.npy")
   state = bootstrap.restore_or_init_bootstrap(params, tx, ckpt_path)
   cfg = bootstrap.BootstrapConfig(
-      num_queries=128, query_chunk_size=32, ema_decay=0.99,
+      num_queries=128, query_chunk_size=32, ema_decay=args.ema,
+      confidence_gate=args.gate,
   )
   eval_builder = lambda: tapvid_datasets.create_kubric_dataset(
       args.eval_dir_b, query_mode="strided", train_size=(256, 256)
@@ -147,7 +158,7 @@ def main():
       student, config, args.eval_dir_a, "after student (domain A)"
   )
   os.makedirs(args.out_dir, exist_ok=True)
-  with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+  with open(os.path.join(args.out_dir, f"results{args.tag}.json"), "w") as f:
     json.dump(results, f, indent=2)
   print(json.dumps(
       {k: v.get("average_jaccard") if isinstance(v, dict) else v
