@@ -76,6 +76,11 @@ def main():
   ap.add_argument("--lr", type=float, default=2e-5)
   ap.add_argument("--ema", type=float, default=0.999)
   ap.add_argument("--gate", type=float, default=-1.0)
+  ap.add_argument(
+      "--cotrain", action="store_true",
+      help="BootsTAP proper: mix the labeled source-domain batches "
+      "(supervised anchor) with the unlabeled-consistency loss",
+  )
   ap.add_argument("--tag", default="")
   args = ap.parse_args()
 
@@ -103,13 +108,24 @@ def main():
   # fit_bootstrap consumes only batch["video"]).
   def data():
     rng = jax.random.PRNGKey(123)
+    rng_l = jax.random.PRNGKey(456)
     while True:
       rng, key = jax.random.split(rng)
       batch = synthetic.make_batch(
           key, args.batch_size, args.num_frames, 256, 256, 8,
           DOMAIN_B["num_sprites"], DOMAIN_B["vel_range"],
       )
-      yield {"video": batch["video"]}
+      out = {"video": batch["video"]}
+      if args.cotrain:
+        # Labeled SOURCE-domain batches (what the supervised checkpoint
+        # trained on — the analogue of "the original Kubric data").
+        rng_l, key_l = jax.random.split(rng_l)
+        out["labeled"] = dict(
+            synthetic.make_batch(
+                key_l, args.batch_size, args.num_frames, 256, 256, 64
+            )
+        )
+      yield out
 
   opt = optimizers.OptimizerConfig(
       base_lr=args.lr, warmup_steps=100, weight_decay=0.0, adam_b2=0.95

@@ -62,6 +62,13 @@ class BootstrapConfig:
   # Teacher confidence gate: only points the teacher marks visible (occ
   # logit < gate and expected_dist logit < gate) supervise the student.
   confidence_gate: float = 0.0
+  # Weight of the SUPERVISED anchor loss when the batch carries a
+  # "labeled" sub-batch (BootsTAP proper mixes the original labeled
+  # training data with the unlabeled self-supervision — reference
+  # README.md:13; pure self-training on shifted domains was measured to
+  # collapse via confirmation bias, scratch/bootstap_demo.py).
+  supervised_weight: float = 1.0
+  supervised_chunk_size: int = 32
 
 
 class BootstrapState(NamedTuple):
@@ -189,6 +196,28 @@ def make_bootstrap_train_step(
       denom = jnp.maximum(weight.sum(), 1.0)
       total = 0.0
       scalars = {}
+      if "labeled" in batch:
+        # Supervised anchor on labeled data (co-training, as in BootsTAP
+        # proper): the TAPIR point-prediction loss on the student.
+        from tapnet_tpu.training import trainer as trainer_lib
+
+        lb = batch["labeled"]
+        sup_out = model.apply(
+            {"params": params},
+            lb["video"],
+            lb["query_points"],
+            query_chunk_size=config.supervised_chunk_size,
+            is_training=True,
+        )
+        sup_loss, _ = trainer_lib.compute_tapir_loss(
+            sup_out,
+            lb,
+            trainer_lib.TaskConfig(
+                train_chunk_size=config.supervised_chunk_size
+            ),
+        )
+        total = total + config.supervised_weight * sup_loss
+        scalars["supervised_loss"] = sup_loss
       preds = list(out.get("unrefined_tracks", ())) + [out["tracks"]]
       occs = list(out.get("unrefined_occlusion", ())) + [out["occlusion"]]
       for i, (tr, oc) in enumerate(zip(preds, occs)):
@@ -243,15 +272,12 @@ def init_bootstrap_state(
 
 
 def jit_bootstrap_step(step_fn, mesh):
-  """Jits the step with replicated state and data-sharded batch."""
-  repl = mesh_lib.replicated(mesh)
-  batch_shardings = dict(video=mesh_lib.batch_sharding(mesh))
-  return jax.jit(
-      step_fn,
-      in_shardings=(repl, batch_shardings, repl),
-      out_shardings=(repl, repl),
-      donate_argnums=(0,),
-  )
+  """Jits the step with donated state; shardings follow the operands
+  (state is replicated by init/restore, batches are placed by
+  mesh_lib.shard_batch — which also handles the optional nested
+  "labeled" sub-batch by leaf name)."""
+  del mesh
+  return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def restore_or_init_bootstrap(
@@ -305,6 +331,8 @@ def fit_bootstrap(
   step_fn = jit_bootstrap_step(
       make_bootstrap_train_step(model, tx, config), mesh
   )
+  # Shardings are operand-driven now: make the state's replication explicit.
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
   rng = rng if rng is not None else jax.random.PRNGKey(0)
   sink = telemetry.ScalarSink(
       log_path
@@ -313,8 +341,10 @@ def fit_bootstrap(
   )
   for i in range(num_steps):
     batch = next(data)
-    batch = {"video": batch["video"]}
-    batch = mesh_lib.shard_batch(batch, mesh)
+    kept = {"video": batch["video"]}
+    if "labeled" in batch:
+      kept["labeled"] = dict(batch["labeled"])
+    batch = mesh_lib.shard_batch(kept, mesh)
     rng, step_rng = jax.random.split(rng)
     state, scalars = step_fn(state, batch, step_rng)
     step = int(state.step)

@@ -202,3 +202,45 @@ def test_fit_bootstrap_telemetry_checkpoint_resume(tmp_path):
       log_every=0,
   )
   assert int(resumed.step) == 3
+
+
+def test_cotraining_supervised_anchor(tmp_path):
+  """BootsTAP proper mixes labeled supervision with the unlabeled
+  consistency loss (reference README.md:13). A batch carrying a
+  "labeled" sub-batch must add the supervised TAPIR loss and report it."""
+  from tapnet_tpu.data import synthetic as synth
+
+  model, params, video, cfg = tiny_setup()
+  cfg = bootstrap.BootstrapConfig(
+      num_queries=8, query_chunk_size=4, ema_decay=0.5,
+      confidence_gate=1e9, supervised_weight=1.0,
+      supervised_chunk_size=4,
+  )
+  opt = optimizers.OptimizerConfig(
+      base_lr=1e-4, warmup_steps=1, weight_decay=0.0
+  )
+  tx = optimizers.make_optimizer(opt, optimizers.make_lr_schedule(opt, 4))
+  mesh = mesh_lib.make_mesh(model_parallel=2)
+  labeled = {
+      k: np.asarray(v)
+      for k, v in synth.make_batch(
+          jax.random.PRNGKey(5), video.shape[0], video.shape[1],
+          video.shape[2], video.shape[3], 8,
+      ).items()
+  }
+
+  def data():
+    while True:
+      yield {"video": video, "labeled": labeled}
+
+  state = bootstrap.init_bootstrap_state(params, tx)
+  state = bootstrap.fit_bootstrap(
+      model, state, data(), tx, num_steps=2, config=cfg, mesh=mesh,
+      log_every=1, log_path=str(tmp_path / "log.jsonl"),
+  )
+  assert int(state.step) == 2
+  import json
+
+  records = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+  assert any("supervised_loss" in r for r in records)
+  assert all(np.isfinite(r.get("supervised_loss", 0.0)) for r in records)
