@@ -81,6 +81,7 @@ def main():
       total_steps=100,
       task=exp.task,
       loss_builder=exp.loss_builder,
+      init_num_frames=8,
   )
   t0 = time.time()
   batch = next(data)

@@ -130,6 +130,9 @@ def main():
       checkpoint_path=ckpt_path,
       checkpoint_every=args.checkpoint_every,
       loss_builder=exp.loss_builder,
+      # Long-clip presets (time-chunked BPTT): init on a short slice
+      # (params are clip-length-independent).
+      init_num_frames=8 if exp.train_time_chunk else None,
   )
   eval_fn = None
   eval_every = args.eval_every or exp.evaluate_every

@@ -327,8 +327,14 @@ class Trainer:
       checkpoint_every: int = 1000,
       loss_builder: Optional[Callable] = None,
       log_path: Optional[str] = None,
+      init_num_frames: Optional[int] = None,
   ):
+    """init_num_frames: initialize parameters on a time-slice of the
+    example batch (parameters are clip-length-independent). Required for
+    long-clip presets trained through the time-chunked builder, where a
+    full-length init forward would not fit in HBM."""
     self.model = model
+    self.init_num_frames = init_num_frames
     self.task = task
     self.loss_builder = loss_builder
     self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
@@ -348,18 +354,32 @@ class Trainer:
     self._compiled_step = None
 
   def init_state(self, example_batch, seed: int = 42) -> TrainState:
+    if (
+        self.init_num_frames
+        and example_batch["video"].shape[1] > self.init_num_frames
+    ):
+      example_batch = dict(
+          example_batch,
+          video=example_batch["video"][:, : self.init_num_frames],
+      )
+    # Init under jit: eager Flax init materializes every intermediate on
+    # device (per-frame attention matrices alone OOM long-clip ViT inits).
     try:
-      variables = self.model.init(
+      variables = jax.jit(
+          functools.partial(
+              self.model.init,
+              query_chunk_size=self.task.train_chunk_size,
+              is_training=True,
+          )
+      )(
           {"params": jax.random.PRNGKey(seed),
            "permutation": jax.random.PRNGKey(0)},
           example_batch["video"],
           example_batch["query_points"],
-          query_chunk_size=self.task.train_chunk_size,
-          is_training=True,
       )
     except TypeError:
       # Models without the cost-volume signature (e.g. TAPNext).
-      variables = self.model.init(
+      variables = jax.jit(self.model.init)(
           jax.random.PRNGKey(seed),
           example_batch["video"],
           example_batch["query_points"],
