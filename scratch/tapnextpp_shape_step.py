@@ -57,7 +57,7 @@ def main():
     exp = dataclasses.replace(
         exp,
         model_config=ssm_vit.variant_config(
-            "B", compute_dtype="bfloat16"
+            "B", compute_dtype="bfloat16", remat=True
         ),
     )
   exp = dataclasses.replace(

@@ -160,7 +160,10 @@ def tapnextpp_experiment(variant: str = "B", **overrides) -> ExperimentConfig:
   kwargs = dict(
       name=f"tapnextpp_{variant}",
       model_kind="tapnext",
-      model_config=ssm_vit.variant_config(variant),
+      # remat: long-clip chunked backward needs per-layer rematerialization
+      # on top of the per-chunk checkpoint (measured: without it one
+      # chunk's backward alone exceeds HBM at ViT-B/128 frames).
+      model_config=ssm_vit.variant_config(variant, remat=True),
       optimizer=optimizers.OptimizerConfig(
           base_lr=1e-4, weight_decay=1e-1, warmup_steps=500
       ),

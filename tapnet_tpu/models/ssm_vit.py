@@ -261,6 +261,10 @@ class SsmVitConfig:
   # "bfloat16" runs attention and MLP matmuls in bf16 (params stay fp32;
   # the RG-LRU recurrence, norms, and heads stay fp32).
   compute_dtype: str = "float32"
+  # Rematerialize each ViTSSM block on backward (layer inputs stored, layer
+  # internals recomputed). Required for long-clip training: without it even
+  # a time-chunked backward holds every layer's chunk activations at once.
+  remat: bool = False
   # Sequence parallelism: a jax.sharding.Mesh whose `sp_axis` axis shards
   # the video TIME dimension. The SSM temporal scan and causal conv — the
   # only cross-time ops — run via parallel/sequence.py (local fused scans
@@ -402,6 +406,7 @@ class MaskedSequenceDecoder(nn.Module):
         mask_image2image=cfg.mask_image2image,
         mask_query2image=cfg.mask_query2image,
         num_image_tokens=h * w,
+        remat=cfg.remat,
         sp=(cfg.sp_mesh, cfg.sp_axis) if cfg.sp_mesh is not None else None,
         name="Transformer",
     )
