@@ -191,6 +191,32 @@ def warp_video(video: Array, homogs: Array) -> Array:
   return jax.vmap(warp_frame)(video, inv)
 
 
+@jax.jit
+def warp_video_u8(video_u8: Array, homogs: Array) -> Array:
+  """`warp_video` with uint8 in/out and the float conversion done on device.
+
+  For host-side data pipelines feeding a remote accelerator this moves 4x
+  less data each way than shipping float32 frames, and one composed warp
+  replaces chained per-augmentation warps (see
+  `kubric.geometric_augmentation`).
+  """
+  warped = warp_video(video_u8.astype(jnp.float32), homogs)
+  return jnp.clip(jnp.round(warped), 0.0, 255.0).astype(jnp.uint8)
+
+
+def compose_homographies(*stacks: np.ndarray) -> np.ndarray:
+  """Compose per-frame homography stacks; stacks[0] is applied LAST.
+
+  `warp_video` + `transform_points` apply x_new = H @ x_old, so applying
+  R then M equals one application of (M @ R):
+  compose_homographies(M, R) == M @ R per frame.
+  """
+  out = stacks[0]
+  for nxt in stacks[1:]:
+    out = np.einsum("tij,tjk->tik", out, nxt)
+  return out
+
+
 def transform_points(homogs: np.ndarray, points_xy: np.ndarray) -> np.ndarray:
   """Apply per-frame homographies to [T, N, 2] (x, y) points."""
   pts_h = np.concatenate(
@@ -226,13 +252,12 @@ class RollAugmentation:
     self.strength = strength
     self.rng = np.random.RandomState(seed)
 
-  def __call__(self, data: Mapping[str, np.ndarray]):
+  def sample_homographies(
+      self, t: int, h: int, w: int
+  ) -> Optional[np.ndarray]:
+    """Draw this augmentation's per-frame matrices, or None when skipped."""
     if self.rng.rand() > self.p:
-      return dict(data)
-    video = np.asarray(data["video"])
-    tracks = np.asarray(data["tracks"]).copy()
-    t, h, w = video.shape[:3]
-
+      return None
     shift_x = sinusoid_schedule(self.rng, t, 5, 5, 30.0, 10.0, self.strength)
     shift_y = sinusoid_schedule(self.rng, t, 5, 5, 20.0, 7.0, self.strength)
     angle = (
@@ -258,10 +283,15 @@ class RollAugmentation:
           [[1, 0, shift_x[i]], [0, 1, shift_y[i]], [0, 0, 1]]
       )
       homogs[i] = rot @ shift
+    return homogs
 
-    warped = np.asarray(warp_video(jnp.asarray(video), jnp.asarray(homogs)))
-    new_tracks = transform_points(homogs, tracks)
-    return dict(data, video=warped, tracks=new_tracks.astype(tracks.dtype))
+  def __call__(self, data: Mapping[str, np.ndarray]):
+    video = np.asarray(data["video"])
+    t, h, w = video.shape[:3]
+    homogs = self.sample_homographies(t, h, w)
+    if homogs is None:
+      return dict(data)
+    return _apply_homographies(data, homogs)
 
 
 class HomographyAugmentation:
@@ -274,12 +304,12 @@ class HomographyAugmentation:
     self.strength = strength
     self.rng = np.random.RandomState(seed)
 
-  def __call__(self, data: Mapping[str, np.ndarray]):
+  def sample_homographies(
+      self, t: int, h: int, w: int
+  ) -> Optional[np.ndarray]:
+    """Draw this augmentation's per-frame matrices, or None when skipped."""
     if self.rng.rand() > self.p:
-      return dict(data)
-    video = np.asarray(data["video"])
-    tracks = np.asarray(data["tracks"]).copy()
-    t, h, w = video.shape[:3]
+      return None
 
     # 8 schedules: (x, y) for each of 4 corners.
     perts = np.stack(
@@ -313,7 +343,23 @@ class HomographyAugmentation:
       ).reshape(4, 2)
       homogs[i] = np.asarray(viz.estimate_homography(dst, src))
       homogs[i] /= homogs[i][2, 2]
+    return homogs
 
-    warped = np.asarray(warp_video(jnp.asarray(video), jnp.asarray(homogs)))
-    new_tracks = transform_points(homogs, tracks)
-    return dict(data, video=warped, tracks=new_tracks.astype(tracks.dtype))
+  def __call__(self, data: Mapping[str, np.ndarray]):
+    video = np.asarray(data["video"])
+    t, h, w = video.shape[:3]
+    homogs = self.sample_homographies(t, h, w)
+    if homogs is None:
+      return dict(data)
+    return _apply_homographies(data, homogs)
+
+
+def _apply_homographies(
+    data: Mapping[str, np.ndarray], homogs: np.ndarray
+):
+  """Warp data["video"] and transform data["tracks"] by per-frame matrices."""
+  video = np.asarray(data["video"])
+  tracks = np.asarray(data["tracks"])
+  warped = np.asarray(warp_video(jnp.asarray(video), jnp.asarray(homogs)))
+  new_tracks = transform_points(homogs, tracks)
+  return dict(data, video=warped, tracks=new_tracks.astype(tracks.dtype))

@@ -155,6 +155,12 @@ def geometric_augmentation(seed: int = 0, strength: float = 1.0):
   on device and transforming trajectories with the same homographies.
   Occlusion flags are kept as-is (points warped outside the frame are
   handled by the loss's visibility weighting, as in the reference).
+
+  The two augmentations' per-frame matrices are COMPOSED and the video is
+  warped once, in uint8 (`augmentations.warp_video_u8`): one resampling pass
+  instead of two (less blur), and 12x less host<->device traffic than the
+  chained float32 warps on a 1024-frame clip — the chained path measured
+  8-15 min/example through a remote-device tunnel (PERFORMANCE.md r5).
   """
   roll = augmentations.RollAugmentation(seed=seed, strength=strength)
   homog = augmentations.HomographyAugmentation(
@@ -162,17 +168,34 @@ def geometric_augmentation(seed: int = 0, strength: float = 1.0):
   )
 
   def transform(example):
+    video = np.asarray(example["video"])
+    t, h, w = video.shape[:3]
+    # Keep the draw order (roll first) so RNG streams match the chained path.
+    stacks = [
+        m
+        for m in (
+            roll.sample_homographies(t, h, w),
+            homog.sample_homographies(t, h, w),
+        )
+        if m is not None
+    ]
+    if not stacks:
+      return dict(example)
+    # Roll applies first, homography second: compose H_homog @ H_roll.
+    composed = augmentations.compose_homographies(*reversed(stacks))
+    if np.issubdtype(video.dtype, np.floating):
+      video = np.clip(np.round(video), 0, 255).astype(np.uint8)
+    warped = np.asarray(
+        augmentations.warp_video_u8(jnp.asarray(video), jnp.asarray(composed))
+    )
     tracks = np.transpose(
         np.asarray(example["target_points"], np.float32), (1, 0, 2)
     )
-    data = {"video": np.asarray(example["video"], np.float32),
-            "tracks": tracks}
-    data = homog(roll(data))
-    video = np.clip(np.round(data["video"]), 0, 255).astype(np.uint8)
+    new_tracks = augmentations.transform_points(composed, tracks)
     return dict(
         example,
-        video=video,
-        target_points=np.transpose(data["tracks"], (1, 0, 2)),
+        video=warped,
+        target_points=np.transpose(new_tracks, (1, 0, 2)).astype(np.float32),
     )
 
   return transform

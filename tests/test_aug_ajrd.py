@@ -165,3 +165,28 @@ class TestAugmentationViz:
         "homography", str(tmp_path / "h.gif"), num_frames=6
     )
     assert os.path.getsize(path) > 0
+
+
+class TestWarpVideoU8:
+
+  def test_matches_float_warp_rounded(self):
+    rng = np.random.RandomState(0)
+    video = (rng.rand(3, 16, 16, 3) * 255).astype(np.uint8)
+    homogs = np.tile(np.eye(3), (3, 1, 1))
+    homogs[:, 0, 2] = [0.0, 1.5, -2.0]  # per-frame x shifts
+    ref = np.clip(
+        np.round(
+            np.asarray(
+                augmentations.warp_video(
+                    jnp.asarray(video, jnp.float32), jnp.asarray(homogs)
+                )
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    out = np.asarray(
+        augmentations.warp_video_u8(jnp.asarray(video), jnp.asarray(homogs))
+    )
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, ref)

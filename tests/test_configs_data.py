@@ -272,3 +272,61 @@ class TestGeometricAugmentationStrength:
     np.testing.assert_allclose(
         out["target_points"], example["target_points"], atol=1e-3
     )
+
+
+class TestComposedGeometricWarp:
+  """kubric.geometric_augmentation composes roll+homography into ONE warp."""
+
+  def test_tracks_match_chained_augmentations(self):
+    # The composed matrices must transform tracks exactly like applying
+    # RollAugmentation then HomographyAugmentation (same seeds).
+    from tapnet_tpu.data import augmentations
+
+    rng = np.random.RandomState(0)
+    video = (rng.rand(5, 24, 24, 3) * 255).astype(np.uint8)
+    target_points = rng.rand(6, 5, 2).astype(np.float32) * 24
+    example = {
+        "video": video,
+        "target_points": target_points,
+        "occluded": np.zeros((6, 5), bool),
+    }
+    out = kubric.geometric_augmentation(seed=9)(example)
+
+    roll = augmentations.RollAugmentation(seed=9)
+    homog = augmentations.HomographyAugmentation(seed=10)
+    data = {
+        "video": video.astype(np.float32),
+        "tracks": np.transpose(target_points, (1, 0, 2)),
+    }
+    chained = homog(roll(data))
+    np.testing.assert_allclose(
+        out["target_points"],
+        np.transpose(chained["tracks"], (1, 0, 2)),
+        atol=1e-3,
+    )
+    # The single-resample video agrees with the double-resample one away
+    # from interpolation differences (composed is the less blurred of the
+    # two; exact equality is not expected).
+    chained_u8 = np.clip(np.round(chained["video"]), 0, 255).astype(np.uint8)
+    diff = np.abs(
+        out["video"].astype(np.int32) - chained_u8.astype(np.int32)
+    )
+    assert np.median(diff) <= 2.0
+
+  def test_no_fire_returns_example_unchanged(self):
+    rng = np.random.RandomState(1)
+    example = {
+        "video": (rng.rand(3, 16, 16, 3) * 255).astype(np.uint8),
+        "target_points": rng.rand(4, 3, 2).astype(np.float32) * 16,
+        "occluded": np.zeros((4, 3), bool),
+    }
+    transform = kubric.geometric_augmentation(seed=0)
+    # Force both p-draws to fail by zeroing the probabilities.
+    for cell in transform.__closure__:
+      if hasattr(cell.cell_contents, "p"):
+        cell.cell_contents.p = -1.0
+    out = transform(example)
+    np.testing.assert_array_equal(out["video"], example["video"])
+    np.testing.assert_array_equal(
+        out["target_points"], example["target_points"]
+    )

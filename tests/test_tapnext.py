@@ -327,3 +327,45 @@ class TestTokenSubsampling:
     (out, masked), tokens = self._run(is_training=True, override=0.0)
     assert not np.asarray(masked).any()
     np.testing.assert_array_equal(np.asarray(out), np.asarray(tokens))
+
+
+class TestRemat:
+  """Per-layer rematerialization (SsmVitConfig.remat) is numerics-neutral.
+
+  The tapnextpp long-video preset trains with nn.remat(ViTSSMBlock)
+  (configs.py::tapnextpp_experiment); the recompute path must produce the
+  same forward values and the same (finite) gradients as the stored path.
+  """
+
+  def test_forward_and_grads_match_no_remat(self, tracker_and_params):
+    import dataclasses
+
+    model, params = tracker_and_params
+    rmodel = tapnext.TAPNextTracker(
+        config=dataclasses.replace(TINY, remat=True)
+    )
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.rand(B, T, 32, 32, 3).astype(np.float32) * 2 - 1)
+    qp = jnp.asarray([[[0.0, 8.0, 8.0], [0.0, 16.0, 16.0], [2.0, 20.0, 4.0]]])
+
+    out = model.apply({"params": params}, video, qp)
+    rout = rmodel.apply({"params": params}, video, qp)
+    np.testing.assert_allclose(
+        np.asarray(rout.tracks), np.asarray(out.tracks), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(m):
+      def f(p):
+        o = m.apply({"params": p}, video, qp)
+        return jnp.mean(o.track_logits**2) + jnp.mean(o.visible_logits**2)
+
+      return f
+
+    g = jax.grad(loss(model))(params)
+    rg = jax.grad(loss(rmodel))(params)
+    flat, rflat = jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(rg)
+    assert all(np.isfinite(np.asarray(x)).all() for x in rflat)
+    for a, b in zip(flat, rflat):
+      np.testing.assert_allclose(
+          np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+      )

@@ -269,6 +269,9 @@ class TestTapnextTraining:
         model_config=ssm_vit.SsmVitConfig(
             width=32, depth=1, mlp_dim=64, num_heads=2,
             patch_size=(1, 8, 8), image_size=(32, 32),
+            # Keep the preset's per-layer rematerialization on so the
+            # sharded chunked step exercises nn.remat(ViTSSMBlock) too.
+            remat=True,
         ),
     )
     exp = dataclasses.replace(
